@@ -1,0 +1,106 @@
+"""Driver benchmark: stiff ODE + forward-sensitivity integrations/sec/chip.
+
+North-star metric 1 (BASELINE.json:2) on the canonical stiff config
+(MAPK-22, BASELINE.json:9): a vmapped batch of BDF integrations with full
+30-parameter forward sensitivities (682 effective states each), rtol=1e-6.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the per-chip rate divided by the measured single-process
+SciPy rate for the *same* augmented integration on this host's CPU
+(bench/baselines/cpu_baseline.json; regenerate with
+``python -m bench.cpu_baseline``).
+
+Runs on whatever backend the environment provides (TPU under the driver;
+CPU if forced). x64 is enabled — accuracy parity is part of the metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tpusysbio.config import SolverConfig  # noqa: E402
+from tpusysbio.model import library  # noqa: E402
+from tpusysbio.sens import make_sens_rhs  # noqa: E402
+from tpusysbio.solvers import bdf_solve  # noqa: E402
+
+BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "32"))
+REPEATS = int(os.environ.get("TPUSYSBIO_BENCH_REPEATS", "3"))
+T_SPAN = (0.0, 100.0)
+N_T = 41
+
+
+def main():
+    model = library.mapk_huang_ferrell()
+    p_true = jnp.asarray(library.mapk_true_params())
+    t_eval = jnp.linspace(*T_SPAN, N_T)
+    cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024,
+                       linear_solver="inv")
+
+    def integrate(p):
+        sens_rhs = make_sens_rhs(model.rhs, p)
+        s0 = jnp.zeros((model.n_states, model.n_params), p.dtype)
+        res = bdf_solve(lambda t, y: model.rhs(t, y, p), T_SPAN,
+                        model.y0(p), t_eval, config=cfg,
+                        sens_rhs=sens_rhs, s0=s0)
+        return res.ys, res.sens, res.status, res.nsteps
+
+    run = jax.jit(jax.vmap(integrate))
+
+    # mild log-normal parameter spread: a realistic multi-start-style batch
+    rng = np.random.default_rng(0)
+    ps = p_true[None, :] * jnp.asarray(
+        np.exp(rng.normal(scale=0.1, size=(BATCH, p_true.shape[0]))))
+
+    # compile + warm up
+    t0 = time.perf_counter()
+    out = run(ps)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    status = np.asarray(out[2])
+    n_ok = int((status == 1).sum())
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(ps))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rate = BATCH / best  # integrations/sec on this one chip
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench", "baselines", "cpu_baseline.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            cpu = json.load(fh)
+        vs = rate / cpu["integrations_per_sec"]
+
+    print(json.dumps({
+        "metric": "stiff ODE+sensitivity integrations/sec/chip (MAPK-22, "
+                  "30-param fwd sens, BDF rtol=1e-6)",
+        "value": round(rate, 3),
+        "unit": "integrations/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "detail": {
+            "batch": BATCH, "best_batch_seconds": round(best, 3),
+            "compile_seconds": round(compile_s, 1),
+            "ok_members": n_ok, "backend": jax.default_backend(),
+            "mean_nsteps": float(np.asarray(out[3]).mean()),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

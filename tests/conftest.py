@@ -1,0 +1,53 @@
+"""Test harness configuration.
+
+Tests run on CPU with a fake 8-device mesh and x64 enabled:
+- CPU: TPU compiles go through a minutes-scale remote AOT helper
+  (SURVEY.md §7 environment notes); numerics are identical on CPU.
+- 8 fake devices: ``shard_map`` tests exercise the same code path as a real
+  v5e-8 (SURVEY.md §4 item 5 — the "fake backend" answer).
+- x64: the accuracy bar is rtol=1e-6 against SciPy f64 baselines.
+
+NOTE: this environment pre-imports jax at interpreter startup
+(sitecustomize), so JAX_PLATFORMS/env vars are already snapshotted —
+``jax.config.update`` is the only override that works. XLA_FLAGS is still
+read lazily at first CPU-client creation, so setting it here works as long
+as no test touches a backend before conftest import.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="session")
+def golden():
+    """Load-or-generate SciPy golden trajectories (SURVEY.md §4 item 1).
+
+    Fixtures are .npz files produced by ``bench/make_golden.py`` at tight
+    tolerance (rtol=1e-8/atol=1e-11); if one is missing it is generated on
+    the fly and cached, so the suite is self-bootstrapping.
+    """
+    from bench import make_golden
+
+    def load(name: str):
+        path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        if not os.path.exists(path):
+            os.makedirs(GOLDEN_DIR, exist_ok=True)
+            make_golden.generate(name, path)
+        return np.load(path)
+
+    return load

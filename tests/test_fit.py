@@ -1,0 +1,152 @@
+"""Optimizer and multi-start tests (SURVEY.md §4 items 3, 5, 7).
+
+- LM parity vs scipy.optimize.least_squares on the same residual/Jacobian
+  (same optimum to ~1e-6 in θ),
+- vmapped multi-start with a poisoned member (NaN masking semantics),
+- shard_map over the fake 8-device CPU mesh — identical code path to a
+  real v5e-8 slice.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpusysbio.config import FitConfig, SolverConfig
+from tpusysbio.data import Experiment, ExperimentBatch, Measurement
+from tpusysbio.fit import latin_hypercube, multistart_fit, uniform_starts
+from tpusysbio.model import library
+from tpusysbio.optim import lm_fit
+from tpusysbio.project import ParameterMap, Project
+
+
+def _rosenbrock_residuals(theta):
+    # classic 2-param test problem: r = (10(θ1-θ0²), 1-θ0)
+    return jnp.stack([10.0 * (theta[1] - theta[0] ** 2), 1.0 - theta[0]])
+
+
+def _rosenbrock_rj(theta):
+    r = _rosenbrock_residuals(theta)
+    J = jax.jacfwd(_rosenbrock_residuals)(theta)
+    return r, J
+
+
+def test_lm_rosenbrock():
+    theta0 = jnp.asarray([-1.2, 1.0])
+    fit = jax.jit(lambda th: lm_fit(_rosenbrock_residuals, _rosenbrock_rj,
+                                    th, FitConfig(max_iter=200)))(theta0)
+    assert int(fit.status) > 0
+    np.testing.assert_allclose(np.asarray(fit.theta), [1.0, 1.0], atol=1e-6)
+
+
+def test_lm_parity_with_scipy():
+    from scipy.optimize import least_squares
+
+    def powell_r(theta):
+        # Powell's badly scaled problem
+        return jnp.stack([
+            1e4 * theta[0] * theta[1] - 1.0,
+            jnp.exp(-theta[0]) + jnp.exp(-theta[1]) - 1.0001,
+        ])
+
+    def powell_rj(theta):
+        return powell_r(theta), jax.jacfwd(powell_r)(theta)
+
+    theta0 = jnp.asarray([0.0, 1.0])
+    mine = jax.jit(lambda th: lm_fit(powell_r, powell_rj, th,
+                                     FitConfig(max_iter=200)))(theta0)
+    ref = least_squares(
+        lambda th: np.asarray(powell_r(jnp.asarray(th))), np.asarray(theta0),
+        jac=lambda th: np.asarray(jax.jacfwd(powell_r)(jnp.asarray(th))),
+        method="lm")
+    assert int(mine.status) > 0
+    assert abs(float(mine.cost) - 0.5 * np.sum(ref.fun**2)) < 1e-12
+
+
+def _mm_problem():
+    model = library.michaelis_menten()
+    p_true = jnp.asarray(library.MM_TRUE_PARAMS)
+    t = np.linspace(1.0, 10.0, 8)
+    res = model.simulate(p_true, (0.0, 10.0), jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-10, atol=1e-12))
+    rng = np.random.default_rng(0)
+    sigma = 0.01
+    data = np.asarray(res.ys) + rng.normal(scale=sigma, size=(8, 3))
+    meas = tuple(Measurement(obs_index=i, times=t, values=data[:, i],
+                             sigmas=np.full(8, sigma)) for i in range(3))
+    batch = ExperimentBatch.from_experiments([Experiment("e0", meas)])
+    pmap = ParameterMap.create(model.param_names, 1,
+                               shared=("k1", "km1", "k2", "E0"))
+    proj = Project(model=model, pmap=pmap, batch=batch,
+                   config=SolverConfig(rtol=1e-7, atol=1e-10))
+    theta_true = pmap.pack({"k1": 10.0, "km1": 1.0, "k2": 1.5, "E0": 0.5})
+    return proj, theta_true
+
+
+@pytest.mark.slow
+def test_multistart_mm_vmapped():
+    proj, theta_true = _mm_problem()
+    key = jax.random.PRNGKey(0)
+    lo = theta_true - 1.0
+    hi = theta_true + 1.0
+    starts = latin_hypercube(key, 8, lo, hi)
+    # poison one member with a hopeless start (huge rates -> stiff failure)
+    starts = starts.at[3].set(jnp.full((4,), 20.0))
+    out = multistart_fit(proj.residuals, proj.residuals_and_jacobian,
+                         starts, FitConfig(max_iter=40))
+    best = out.best()
+    assert int(best.status) > 0
+    assert bool(jnp.isfinite(best.cost))
+    # truth should be (near-)recovered by the best member
+    assert float(best.cost) < 1.2 * float(proj.cost(theta_true))
+    # the poisoned member must not poison the others
+    assert np.isfinite(np.asarray(out.cost)[np.asarray(out.status) > 0]).all()
+
+
+@pytest.mark.slow
+def test_multistart_sharded_mesh():
+    """Fake 8-device CPU mesh == real v5e-8 code path (SURVEY.md §4 item 5)."""
+    devs = jax.devices()
+    assert len(devs) == 8, "conftest must fake 8 host devices"
+    proj, theta_true = _mm_problem()
+    mesh = Mesh(np.array(devs), ("starts",))
+    starts = uniform_starts(jax.random.PRNGKey(1), 16, theta_true - 0.5,
+                            theta_true + 0.5)
+    out = multistart_fit(proj.residuals, proj.residuals_and_jacobian,
+                         starts, FitConfig(max_iter=30), mesh=mesh)
+    # deterministic: sharded == unsharded member-for-member
+    out2 = multistart_fit(proj.residuals, proj.residuals_and_jacobian,
+                          starts, FitConfig(max_iter=30))
+    np.testing.assert_allclose(np.asarray(out.cost), np.asarray(out2.cost),
+                               rtol=1e-9)
+    assert int(out.best().status) > 0
+
+
+def test_sampling_shapes_and_determinism():
+    lo = jnp.asarray([-1.0, 0.0, 2.0])
+    hi = jnp.asarray([1.0, 3.0, 4.0])
+    a = latin_hypercube(jax.random.PRNGKey(7), 64, lo, hi)
+    b = latin_hypercube(jax.random.PRNGKey(7), 64, lo, hi)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.shape == (64, 3)
+    assert bool(jnp.all(a >= lo) and jnp.all(a <= hi))
+    # LHS stratification: each of 64 strata hit exactly once per dim
+    strata = np.floor((np.asarray(a) - np.asarray(lo))
+                      / (np.asarray(hi - lo)) * 64).astype(int)
+    for d in range(3):
+        assert len(np.unique(strata[:, d])) == 64
+
+
+def test_checkpoint_resume(tmp_path):
+    theta0s = jnp.tile(jnp.asarray([-1.2, 1.0]), (4, 1))
+    ck = str(tmp_path / "ck.npz")
+    out = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                         FitConfig(max_iter=100), checkpoint_path=ck,
+                         chunk_size=2)
+    assert out.cost.shape == (4,)
+    # resume: results identical, no recompute of completed chunks
+    out2 = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                          FitConfig(max_iter=100), checkpoint_path=ck,
+                          chunk_size=2)
+    np.testing.assert_allclose(np.asarray(out.cost), np.asarray(out2.cost))

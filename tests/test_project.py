@@ -1,0 +1,125 @@
+"""Project-layer algebra tests (SURVEY.md §4 item 4).
+
+Autodiff is the oracle: the hand-assembled residual Jacobian (sensitivities
++ scale-factor chain rule + log transform) must match finite differences of
+the residual function, and the analytic scale factor must minimize the
+weighted SSR over brute-force scans.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusysbio.config import SolverConfig
+from tpusysbio.data import Experiment, ExperimentBatch, Measurement
+from tpusysbio.model import library
+from tpusysbio.project import ParameterMap, Project
+from tpusysbio.project.scale_factors import scale_factors
+
+
+def _mm_project(sigma=0.02, seed=0, n_t=8):
+    model = library.michaelis_menten()
+    p_true = jnp.asarray(library.MM_TRUE_PARAMS)
+    t = np.linspace(1.0, 10.0, n_t)
+    res = model.simulate(p_true, (0.0, 10.0), jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-10, atol=1e-12))
+    rng = np.random.default_rng(seed)
+    data = np.asarray(res.ys) + rng.normal(scale=sigma, size=(n_t, 3))
+    meas = tuple(
+        Measurement(obs_index=i, times=t, values=data[:, i],
+                    sigmas=np.full(n_t, sigma)) for i in range(3))
+    batch = ExperimentBatch.from_experiments(
+        [Experiment("e0", meas)])
+    pmap = ParameterMap.create(model.param_names, 1,
+                               shared=("k1", "km1", "k2", "E0"))
+    proj = Project(model=model, pmap=pmap, batch=batch,
+                   config=SolverConfig(rtol=1e-9, atol=1e-11))
+    theta = pmap.pack({"k1": 10.0, "km1": 1.0, "k2": 1.5, "E0": 0.5})
+    return proj, theta
+
+
+def test_parameter_map_expand_and_chain():
+    pm = ParameterMap.create(("a", "b", "c"), 2, shared=("a",),
+                             local=("b",), fixed={"c": [1.0, 2.0]})
+    assert pm.n_global == 3  # a, b[0], b[1]
+    theta = jnp.log(jnp.asarray([4.0, 5.0, 6.0]))
+    p = np.asarray(pm.expand(theta))
+    np.testing.assert_allclose(p, [[4.0, 5.0, 1.0], [4.0, 6.0, 2.0]])
+    chain = np.asarray(pm.chain(theta))
+    # dp[e,i]/dθ_g = p * indicator
+    np.testing.assert_allclose(chain[0, 0], [4.0, 0.0, 0.0])
+    np.testing.assert_allclose(chain[1, 1], [0.0, 0.0, 6.0])
+    np.testing.assert_allclose(chain[0, 2], [0.0, 0.0, 0.0])  # fixed
+
+
+def test_scale_factor_is_argmin():
+    rng = np.random.default_rng(1)
+    sim = jnp.asarray(rng.uniform(0.5, 2.0, 20))
+    data = jnp.asarray(rng.uniform(0.5, 2.0, 20))
+    sig = jnp.asarray(rng.uniform(0.05, 0.2, 20))
+    group = jnp.zeros(20, jnp.int32)
+    mask = jnp.ones(20, bool)
+    B = float(scale_factors(sim, data, 1.0 / sig**2, group, mask, 1)[0])
+
+    def ssr(b):
+        return float(jnp.sum(((b * sim - data) / sig) ** 2))
+
+    assert ssr(B) < min(ssr(B * 1.001), ssr(B * 0.999))
+
+
+def test_project_jacobian_matches_fd():
+    proj, theta = _mm_project()
+    r, J = jax.jit(proj.residuals_and_jacobian)(theta)
+    res_fn = jax.jit(proj.residuals)
+    eps = 1e-6
+    for g in range(proj.n_theta):
+        d = np.zeros(proj.n_theta)
+        d[g] = eps
+        fd = (np.asarray(res_fn(theta + jnp.asarray(d)))
+              - np.asarray(res_fn(theta - jnp.asarray(d)))) / (2 * eps)
+        scale = 1e-8 + np.max(np.abs(fd))
+        assert np.max(np.abs(np.asarray(J)[:, g] - fd)) / scale < 1e-5
+
+
+def test_project_with_scale_factors_jacobian():
+    """Relative observables: B enters residuals AND the Jacobian term."""
+    model = library.jak_stat()
+    p_true = jnp.asarray(library.JAKSTAT_TRUE_PARAMS)
+    t = np.linspace(2.0, 60.0, 10)
+    res = model.simulate(p_true, (0.0, 60.0), jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-10, atol=1e-12))
+    obs = np.asarray(jax.vmap(lambda y: model.observables(y, p_true))(res.ys))
+    rng = np.random.default_rng(2)
+    scale_true = np.array([3.7, 0.9])  # arbitrary measurement units
+    sigma = 0.05
+    meas = []
+    for i in range(2):
+        vals = scale_true[i] * obs[:, i] * (1 + rng.normal(scale=sigma,
+                                                           size=len(t)))
+        meas.append(Measurement(obs_index=i, times=t, values=vals,
+                                sigmas=np.full(len(t), sigma),
+                                scale_group=f"g{i}"))
+    batch = ExperimentBatch.from_experiments([Experiment("e0", tuple(meas))])
+    assert batch.n_groups == 2
+    pmap = ParameterMap.create(model.param_names, 1,
+                               shared=("k1", "k2", "k3", "k4"),
+                               fixed={"amp": 1.0, "tau": 6.0})
+    proj = Project(model=model, pmap=pmap, batch=batch,
+                   config=SolverConfig(rtol=1e-9, atol=1e-11))
+    theta = pmap.pack({"k1": 2.5, "k2": 4.0, "k3": 0.3, "k4": 0.6})
+
+    ev = jax.jit(lambda th: proj.evaluate(th, with_jac=True))(theta)
+    # fitted scale factors recover the synthetic units
+    np.testing.assert_allclose(np.asarray(ev.scale), scale_true, rtol=0.1)
+
+    res_fn = jax.jit(proj.residuals)
+    eps = 1e-6
+    for g in range(proj.n_theta):
+        d = np.zeros(proj.n_theta)
+        d[g] = eps
+        fd = (np.asarray(res_fn(theta + jnp.asarray(d)))
+              - np.asarray(res_fn(theta - jnp.asarray(d)))) / (2 * eps)
+        scale = 1e-8 + np.max(np.abs(fd))
+        assert np.max(np.abs(np.asarray(ev.jacobian)[:, g] - fd)) / scale \
+            < 1e-5, f"theta[{g}]"

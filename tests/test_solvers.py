@@ -1,0 +1,92 @@
+"""Golden-trajectory solver tests (SURVEY.md §4 items 1, 6).
+
+Each canonical config integrates with the JAX steppers and compares against
+the tight-tolerance SciPy BDF fixture at the accuracy bar implied by
+rtol=1e-6 local error control. Step-count budgets catch regressions in
+stiff stability (a broken Newton/LU shows up as a step-count explosion long
+before it shows up as wrong trajectories — SURVEY.md §4 item 6).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusysbio.config import SolverConfig
+from tpusysbio.model import library
+from tpusysbio.solvers import (
+    STATUS_DONE,
+    bdf_solve,
+    dopri5_solve,
+    rosenbrock_solve,
+)
+
+CFG = SolverConfig(rtol=1e-6, atol=1e-9)
+
+
+def _relerr(ys, ref, floor=1e-7):
+    return np.max(np.abs(ys - ref) / (floor + np.abs(ref)))
+
+
+@pytest.mark.parametrize("solver,tol", [
+    (bdf_solve, 3e-4), (dopri5_solve, 3e-4), (rosenbrock_solve, 5e-3),
+])
+def test_mm3_trajectory(golden, solver, tol):
+    g = golden("mm3")
+    model = library.michaelis_menten()
+    p = jnp.asarray(g["p"])
+    res = solver(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                 model.y0(p), jnp.asarray(g["t_eval"]), config=CFG)
+    assert int(res.status) == STATUS_DONE
+    assert _relerr(np.asarray(res.ys), g["ys"]) < tol
+
+
+def test_repressilator_bdf(golden):
+    g = golden("repressilator")
+    model = library.repressilator()
+    p = jnp.asarray(g["p"])
+    res = bdf_solve(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                    model.y0(p), jnp.asarray(g["t_eval"]), config=CFG)
+    assert int(res.status) == STATUS_DONE
+    # oscillator: phase error accumulates; compare with an absolute floor
+    np.testing.assert_allclose(np.asarray(res.ys), g["ys"], rtol=2e-3,
+                               atol=2e-3)
+
+
+@pytest.mark.slow
+def test_mapk22_stiff_bdf(golden):
+    g = golden("mapk22")
+    model = library.mapk_huang_ferrell()
+    p = jnp.asarray(g["p"])
+    cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=2048)
+    res = bdf_solve(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                    model.y0(p), jnp.asarray(g["t_eval"]), config=cfg)
+    assert int(res.status) == STATUS_DONE
+    assert _relerr(np.asarray(res.ys), g["ys"], floor=1e-9) < 2e-4
+    # stiffness regression: SciPy BDF does this in ~240 steps; a loss of
+    # stiff stability explodes the count (SURVEY.md §4 item 6)
+    assert int(res.nsteps) < 600
+
+
+def test_t_eval_endpoints():
+    """t_eval at t0 and t_bound must both be filled exactly."""
+    model = library.lotka_volterra()
+    p = jnp.asarray(library.LV_TRUE_PARAMS)
+    t_eval = jnp.asarray([0.0, 7.5, 15.0])
+    res = bdf_solve(lambda t, y: model.rhs(t, y, p), (0.0, 15.0),
+                    model.y0(p), t_eval, config=CFG)
+    assert int(res.status) == STATUS_DONE
+    ys = np.asarray(res.ys)
+    np.testing.assert_allclose(ys[0], np.asarray(model.y0(p)), atol=1e-14)
+    assert np.all(ys[1:] != 0.0)
+
+
+def test_max_steps_flags_not_raises():
+    """Budget exhaustion -> STATUS_MAX_STEPS, never an exception
+    (vmapped-batch safety, SURVEY.md §5 failure detection)."""
+    model = library.repressilator()
+    p = jnp.asarray(library.REPRESSILATOR_TRUE_PARAMS)
+    cfg = SolverConfig(rtol=1e-10, atol=1e-13, max_steps=8)
+    res = bdf_solve(lambda t, y: model.rhs(t, y, p), (0.0, 30.0),
+                    model.y0(p), jnp.asarray([0.0, 30.0]), config=cfg)
+    assert int(res.status) != STATUS_DONE
+    assert np.all(np.isfinite(np.asarray(res.ys)))

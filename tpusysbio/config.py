@@ -1,0 +1,82 @@
+"""Frozen, hashable configuration dataclasses (jit-static).
+
+The reference passed solver tolerances as plain kwargs into
+``scipy.integrate.odeint`` / ``scipy.optimize.leastsq``
+(SURVEY.md §5 "Config / flag system"). Here configs are frozen dataclasses so
+they can be closed over by ``jax.jit`` as static values with no global flag
+state. Defaults mirror the SciPy cores the reference delegates to:
+
+- BDF: MAX_ORDER=5, NEWTON_MAXITER=4, MIN_FACTOR=0.2, MAX_FACTOR=10
+  (``scipy/integrate/_ivp/bdf.py:12-16``),
+- leastsq tolerances ftol=xtol=1.49012e-8 (``scipy/optimize/_minpack_py.py:292``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Configuration for the stiff/non-stiff integrators.
+
+    ``max_steps`` bounds the ``lax.while_loop`` so a vmapped batch with one
+    pathological member always terminates (SURVEY.md §7 hard part 1); a
+    member that exhausts the budget is flagged ``STATUS_MAX_STEPS`` and
+    masked out downstream, never aborting the batch (SURVEY.md §5 failure
+    detection).
+    """
+
+    rtol: float = 1e-6
+    atol: float = 1e-9
+    max_steps: int = 4096
+    max_order: int = 5            # BDF/NDF maximum order (bdf.py:12)
+    newton_maxiter: int = 4       # modified-Newton cap (bdf.py:14)
+    min_factor: float = 0.2       # step shrink floor (bdf.py:15)
+    max_factor: float = 10.0      # step growth cap (bdf.py:16)
+    safety: float = 0.9
+    first_step: Optional[float] = None  # None -> Hairer heuristic (common.py:68)
+    max_step: float = float("inf")
+    # Include sensitivity columns in the local error norm (CVODES errconS).
+    sens_error_control: bool = False
+    # 'lu'    : pivoted LU factor + triangular solves (pure JAX, f64-safe on TPU)
+    # 'inv'   : explicit inverse via LU, each Newton solve becomes one matmul
+    #           (best lockstep-vmap throughput on the MXU)
+    # 'pallas': Pallas VMEM-resident batched factor+solve kernel
+    linear_solver: str = "inv"
+
+    def __post_init__(self):
+        if self.linear_solver not in ("lu", "inv", "pallas"):
+            raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Levenberg–Marquardt / trust-region fit configuration.
+
+    Tolerance semantics follow ``scipy.optimize.least_squares``
+    (``scipy/optimize/_lsq/common.py:705`` termination): relative cost
+    reduction (ftol), relative step size (xtol), scaled gradient norm (gtol).
+    """
+
+    ftol: float = 1e-8
+    xtol: float = 1e-8
+    gtol: float = 1e-8
+    max_iter: int = 100
+    # initial LM damping and its adaptation bounds
+    lam0: float = 1e-3
+    lam_min: float = 1e-12
+    lam_max: float = 1e12
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for multi-start ensemble parallelism.
+
+    The only mesh axis is ``starts`` — multi-start members shard across
+    chips; integration itself is collective-free lockstep (SURVEY.md §2c/§3.4).
+    """
+
+    axis_names: Tuple[str, ...] = ("starts",)
+    axis_sizes: Optional[Tuple[int, ...]] = None  # None -> all local devices

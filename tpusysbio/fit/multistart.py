@@ -1,0 +1,129 @@
+"""Vmapped, mesh-sharded multi-start driver (SURVEY.md §3.4 rebuild).
+
+Call stack (one jit, two boundary crossings total):
+
+    sampler (LHS in log bounds, seeded PRNG)
+    └─ shard_map over Mesh(('starts',))          # chips
+       └─ vmap over the per-chip batch           # lockstep members
+          └─ jitted LM fit (optim/lm.py)
+             └─ BDF + forward sensitivities (solvers/bdf.py)
+    └─ host gather of (θ*, cost, status) → ranking
+
+Failed members (solver failure, non-finite residuals, LM status -1) carry
+their status in the result arrays and are ranked last — never aborting the
+batch (SURVEY.md §5 failure detection). Checkpoint/resume: chunked
+execution writes an .npz after every chunk; a resumed run skips completed
+chunks (SURVEY.md §5 checkpoint).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpusysbio.config import FitConfig
+from tpusysbio.optim import lm_fit
+
+
+class MultistartResult(NamedTuple):
+    theta: jax.Array       # (N, G) fitted parameters (log space)
+    cost: jax.Array        # (N,)
+    grad_norm: jax.Array   # (N,)
+    status: jax.Array      # (N,) LM status codes
+    n_iter: jax.Array      # (N,)
+    theta0: jax.Array      # (N, G) the starts
+
+    def ranked(self) -> "MultistartResult":
+        """Sort by cost; invalid members (status<=0 or non-finite) last."""
+        bad = (self.status <= 0) | ~jnp.isfinite(self.cost)
+        key = jnp.where(bad, jnp.inf, self.cost)
+        order = jnp.argsort(key)
+        return MultistartResult(*(x[order] for x in self))
+
+    def best(self):
+        r = self.ranked()
+        return jax.tree.map(lambda x: x[0], r)
+
+
+def _fit_batch_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
+                  config: FitConfig):
+    def fit_one(theta0):
+        return lm_fit(residual_fn, residual_and_jac_fn, theta0, config)
+
+    return jax.vmap(fit_one)
+
+
+def multistart_fit(
+    residual_fn: Callable,
+    residual_and_jac_fn: Callable,
+    theta0s: jax.Array,
+    config: FitConfig = FitConfig(),
+    mesh: Optional[Mesh] = None,
+    checkpoint_path: Optional[str] = None,
+    chunk_size: Optional[int] = None,
+) -> MultistartResult:
+    """Fit every row of ``theta0s`` (N, G); returns per-start results.
+
+    With ``mesh`` (1-D, axis ``'starts'``), the batch is sharded across
+    devices via ``shard_map`` — N must be divisible by the axis size. With
+    ``checkpoint_path``/``chunk_size``, the batch runs in chunks and each
+    completed chunk is persisted; re-running resumes after the last one.
+    """
+    fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config)
+
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        # check_vma=False: the fit is collective-free per member, but its
+        # loop carries start from replicated constants, which trips the
+        # varying-manual-axes static check inside lax loops.
+        sharded = jax.shard_map(
+            fit_batch, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+            check_vma=False)
+        run = jax.jit(sharded)
+    else:
+        run = jax.jit(fit_batch)
+
+    N = theta0s.shape[0]
+    if chunk_size is None or chunk_size >= N:
+        fr = run(theta0s)
+        return MultistartResult(theta=fr.theta, cost=fr.cost,
+                                grad_norm=fr.grad_norm, status=fr.status,
+                                n_iter=fr.n_iter, theta0=theta0s)
+
+    # ---- chunked with checkpoint/resume --------------------------------
+    if N % chunk_size:
+        raise ValueError("chunk_size must divide the number of starts")
+    n_chunks = N // chunk_size
+    done = 0
+    parts = []
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        done = int(ck["chunks_done"])
+        if done:
+            parts = [dict(theta=ck["theta"], cost=ck["cost"],
+                          grad_norm=ck["grad_norm"], status=ck["status"],
+                          n_iter=ck["n_iter"])]
+
+    for c in range(done, n_chunks):
+        fr = run(theta0s[c * chunk_size:(c + 1) * chunk_size])
+        parts.append(dict(
+            theta=np.asarray(fr.theta), cost=np.asarray(fr.cost),
+            grad_norm=np.asarray(fr.grad_norm),
+            status=np.asarray(fr.status), n_iter=np.asarray(fr.n_iter)))
+        if checkpoint_path:
+            acc = {k: np.concatenate([p[k] for p in parts])
+                   for k in parts[0]}
+            np.savez(checkpoint_path, chunks_done=c + 1, **acc)
+            parts = [acc]
+
+    acc = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    return MultistartResult(
+        theta=jnp.asarray(acc["theta"]), cost=jnp.asarray(acc["cost"]),
+        grad_norm=jnp.asarray(acc["grad_norm"]),
+        status=jnp.asarray(acc["status"]),
+        n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s)

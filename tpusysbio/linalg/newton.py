@@ -1,0 +1,67 @@
+"""Newton linear-solver strategies for the stiff steppers.
+
+Abstracts "factor ``I - c*J`` once, solve many RHS against it" so the BDF and
+Rosenbrock steppers are agnostic to the backing kernel:
+
+- ``'lu'``    — pivoted LU + triangular solves (lu.py); reference-parity path.
+- ``'inv'``   — explicit inverse; each solve is one (n,n)@(n,k) matmul.
+                Best vmapped-ensemble throughput on the MXU; default.
+- ``'pallas'``— VMEM-resident batched factor+solve Pallas kernel
+                (linalg/pallas_lu.py), enabled per-config after profiling
+                (SURVEY.md §7 M7).
+
+Both strategies expose the same pytree "factorization" so the stepper state
+stays shape-stable under ``lax.while_loop`` and ``vmap``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpusysbio.linalg import lu as _lu
+
+
+def make_linear_solver(kind: str) -> Tuple[Callable, Callable]:
+    """Return ``(factor, solve)``.
+
+    ``factor(A) -> fact`` where ``A`` is (n, n);
+    ``solve(fact, B) -> X`` where ``B`` is (n,) or (n, k).
+    The factorization pytree has a fixed structure/shape for a given n, so it
+    can live inside ``lax.while_loop`` carry state.
+    """
+    if kind == "lu":
+
+        def factor(a):
+            return _lu.lu_factor(a)
+
+        def solve(fact, b):
+            return _lu.lu_solve(fact, b)
+
+        return factor, solve
+
+    if kind == "inv":
+
+        def factor(a):
+            return _lu.lu_inverse(a)
+
+        def solve(ainv, b):
+            return ainv @ b
+
+        return factor, solve
+
+    if kind == "pallas":
+        # Imported lazily: the Pallas kernel is only compiled when requested.
+        from tpusysbio.linalg import pallas_lu
+
+        def factor(a):
+            return pallas_lu.inverse(a)
+
+        def solve(ainv, b):
+            return ainv @ b
+
+        return factor, solve
+
+    raise ValueError(f"unknown linear solver kind {kind!r}")

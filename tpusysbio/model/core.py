@@ -1,0 +1,86 @@
+"""The ``OdeModel`` container — capability parity with the reference's
+model wrapper (SURVEY.md §2 #1: holds RHS, parameter names/order,
+observables; ``simulate()`` drives the integrator).
+
+Differences by design (TPU-first):
+- ``rhs`` is a pure function ``(t, y, p) -> dy/dt`` closed over nothing;
+  simulation composes it with a solver from ``tpusysbio.solvers`` under one
+  ``jax.jit``.
+- Sensitivities are never hand-coded: ``tpusysbio.sens`` derives them from
+  ``rhs`` via ``jax.jvp`` (BASELINE.json:5).
+- ``y0`` may depend on parameters (e.g. conserved totals as fit parameters);
+  the sensitivity layer picks up ``dy0/dp`` automatically via ``jacfwd``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpusysbio.config import SolverConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class OdeModel:
+    """A parameterized ODE system with observables.
+
+    Attributes:
+      rhs: ``(t, y, p) -> (n_states,)``.
+      y0: ``(p,) -> (n_states,)`` initial condition.
+      observables: ``(y, p) -> (n_obs,)`` mapping one state vector to
+        observable values (vmapped over time by callers).
+    """
+
+    name: str
+    n_states: int
+    n_params: int
+    n_obs: int
+    rhs: Callable
+    y0: Callable
+    observables: Callable
+    param_names: Tuple[str, ...] = ()
+    state_names: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if self.param_names and len(self.param_names) != self.n_params:
+            raise ValueError("param_names length mismatch")
+        if self.state_names and len(self.state_names) != self.n_states:
+            raise ValueError("state_names length mismatch")
+
+    def simulate(self, p, t_span, t_eval, solver: str = "bdf",
+                 config: Optional[SolverConfig] = None):
+        """Forward trajectory at ``t_eval`` (reference ``model.simulate``,
+        SURVEY.md §3.2). Returns an ``IntegrateResult``."""
+        from tpusysbio import solvers
+
+        config = config or SolverConfig()
+        p = jnp.asarray(p)
+        fn = {"bdf": solvers.bdf_solve, "dopri5": solvers.dopri5_solve,
+              "rosenbrock": solvers.rosenbrock_solve}[solver]
+        y0 = self.y0(p)
+        return fn(lambda t, y: self.rhs(t, y, p), t_span, y0, t_eval,
+                  config=config)
+
+    def simulate_sensitivities(self, p, t_span, t_eval, solver: str = "bdf",
+                               config: Optional[SolverConfig] = None):
+        """Trajectory + forward sensitivities dy/dp at ``t_eval``
+        (reference ``simulate_sensitivities``, SURVEY.md §3.3)."""
+        from tpusysbio import solvers
+        from tpusysbio.sens import make_sens_rhs
+
+        config = config or SolverConfig()
+        p = jnp.asarray(p)
+        fn = {"bdf": solvers.bdf_solve, "dopri5": solvers.dopri5_solve,
+              "rosenbrock": solvers.rosenbrock_solve}[solver]
+        y0 = self.y0(p)
+        s0 = jax.jacfwd(self.y0)(p)
+        sens_rhs = make_sens_rhs(self.rhs, p)
+        return fn(lambda t, y: self.rhs(t, y, p), t_span, y0, t_eval,
+                  config=config, sens_rhs=sens_rhs, s0=s0)
+
+    def jacobian(self, t, y, p):
+        """State Jacobian ∂f/∂y via forward-mode AD."""
+        return jax.jacfwd(lambda yy: self.rhs(t, yy, p))(y)

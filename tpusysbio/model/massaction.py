@@ -1,0 +1,124 @@
+"""Mass-action reaction-network engine, matmul-shaped for the MXU.
+
+Systems-biology pathway models (the reference's domain) are overwhelmingly
+mass-action networks. Instead of hand-writing each RHS as scalar Python (the
+reference style, SURVEY.md §2 #1), a network is two small static integer
+matrices:
+
+- ``reactants`` (n_reactions, n_species): stoichiometric exponents of the
+  rate monomials,
+- ``stoich``    (n_species, n_reactions): net stoichiometry.
+
+The RHS is then ``S @ (k * prod(y ** R))`` — a product reduction plus one
+matmul, which XLA tiles onto the MXU and which batches perfectly under
+``vmap`` over ensembles. ``jax.jacfwd``/``jax.jvp`` through it give exact
+Jacobians/sensitivities with no symbolic codegen (BASELINE.json:5).
+
+Used to build the Huang–Ferrell MAPK cascade (22 species / 30 elementary
+reactions, BASELINE.json:9) and the ~100-state EGFR-scale network
+(BASELINE.json:11) in ``model/library.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MassActionNetwork:
+    """Static description of a mass-action network.
+
+    ``reactants[j, i]`` = exponent of species i in reaction j's rate law;
+    ``stoich[i, j]``    = net change of species i in reaction j.
+    Rate constant of reaction j is ``p[j]`` (one parameter per reaction).
+    """
+
+    species: Tuple[str, ...]
+    reaction_names: Tuple[str, ...]
+    reactants: np.ndarray   # (n_reactions, n_species) small ints
+    stoich: np.ndarray      # (n_species, n_reactions) small ints
+
+    @property
+    def n_species(self) -> int:
+        return len(self.species)
+
+    @property
+    def n_reactions(self) -> int:
+        return self.reactants.shape[0]
+
+    def rhs(self) -> Callable:
+        """Return ``f(t, y, p) -> dy/dt`` (p = rate constants, one per
+        reaction). ``0 ** 0 == 1`` in jnp so absent species are inert."""
+        R = jnp.asarray(self.reactants)
+        S = jnp.asarray(self.stoich)
+
+        def f(t, y, p):
+            del t
+            monomials = jnp.prod(jnp.power(y[None, :], R), axis=1)
+            rates = p * monomials
+            return (S.astype(y.dtype) @ rates.astype(y.dtype))
+
+        return f
+
+
+class NetworkBuilder:
+    """Incrementally assemble a MassActionNetwork by named reactions."""
+
+    def __init__(self):
+        self._species: List[str] = []
+        self._index = {}
+        self._rows_R: List[dict] = []
+        self._rows_S: List[dict] = []
+        self._names: List[str] = []
+
+    def species(self, name: str) -> int:
+        if name not in self._index:
+            self._index[name] = len(self._species)
+            self._species.append(name)
+        return self._index[name]
+
+    def reaction(self, name: str, reactants: Sequence[str],
+                 products: Sequence[str]):
+        """Add elementary reaction ``sum(reactants) -> sum(products)`` with
+        mass-action rate ``k * prod(reactant concentrations)``; repeated
+        names give stoichiometry/exponent 2, etc."""
+        r_cnt: dict = {}
+        s_cnt: dict = {}
+        for sp in reactants:
+            i = self.species(sp)
+            r_cnt[i] = r_cnt.get(i, 0) + 1
+            s_cnt[i] = s_cnt.get(i, 0) - 1
+        for sp in products:
+            i = self.species(sp)
+            s_cnt[i] = s_cnt.get(i, 0) + 1
+        self._rows_R.append(r_cnt)
+        self._rows_S.append(s_cnt)
+        self._names.append(name)
+
+    def catalytic(self, enzyme: str, substrate: str, product: str,
+                  tag: str = ""):
+        """Michaelis-Menten mechanism as 3 elementary reactions
+        (bind / unbind / catalyze) — 3 rate constants in order (a, d, k)."""
+        complex_name = f"{enzyme}:{substrate}"
+        tag = tag or f"{enzyme}+{substrate}"
+        self.reaction(f"{tag}.bind", [enzyme, substrate], [complex_name])
+        self.reaction(f"{tag}.unbind", [complex_name], [enzyme, substrate])
+        self.reaction(f"{tag}.cat", [complex_name], [enzyme, product])
+
+    def build(self) -> MassActionNetwork:
+        n_sp = len(self._species)
+        n_rx = len(self._rows_R)
+        R = np.zeros((n_rx, n_sp), dtype=np.int32)
+        S = np.zeros((n_sp, n_rx), dtype=np.int32)
+        for j, (rc, sc) in enumerate(zip(self._rows_R, self._rows_S)):
+            for i, v in rc.items():
+                R[j, i] = v
+            for i, v in sc.items():
+                S[i, j] = v
+        return MassActionNetwork(
+            species=tuple(self._species), reaction_names=tuple(self._names),
+            reactants=R, stoich=S)

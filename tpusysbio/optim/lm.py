@@ -1,0 +1,187 @@
+"""Jitted Levenberg–Marquardt with Marquardt diagonal scaling.
+
+Algorithm: damped normal equations with trust-region-style λ adaptation
+(Moré's LM as in MINPACK ``lmder`` — SURVEY.md §2 #13 — with the gain-ratio
+λ update of Nielsen/Madsen instead of MINPACK's internal Δ bookkeeping;
+termination tests follow ``scipy.optimize.least_squares``:
+``scipy/optimize/_lsq/common.py:check_termination``).
+
+TPU-native design decisions:
+- The whole fit is ONE ``lax.while_loop`` (SURVEY.md §3.1 rebuild: LM outer
+  ∘ BDF inner, zero host boundaries). Each iteration: one trial-residual
+  integration; on acceptance one sensitivity integration for the fresh
+  Jacobian (under ``lax.cond`` so an unbatched fit skips it when rejected).
+- The LM step solves the *damped normal equations*
+  ``(JᵀJ + λ·diag(JᵀJ)) δ = −Jᵀr`` with the in-house pivoted LU — in f64
+  this is accurate for the P ≲ 200 parameter counts of this domain and,
+  unlike the SVD subproblem (``scipy/optimize/_lsq/common.py:57``), it
+  needs no LAPACK SVD (f64-broken on this TPU) and vmaps as pure matmuls +
+  LU, the lockstep-friendly shape for 10k-member multi-start ensembles.
+- Parameters are in log space by construction (project/mapping.py), so box
+  positivity bounds are already built in; explicit bounds are optional
+  clipping.
+
+Statuses: 0 = max_iter, 1 = gtol, 2 = ftol, 3 = xtol, -1 = non-finite at
+the initial point (masked member).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpusysbio.config import FitConfig
+from tpusysbio.linalg import lu as _lu
+
+
+class FitResult(NamedTuple):
+    theta: jax.Array
+    cost: jax.Array
+    grad_norm: jax.Array       # inf-norm of Jᵀr at the solution
+    status: jax.Array          # see module docstring
+    n_iter: jax.Array
+    nfev: jax.Array            # residual-only integrations
+    njev: jax.Array            # residual+jacobian (sensitivity) integrations
+
+    @property
+    def success(self):
+        return self.status > 0
+
+
+class _LMState(NamedTuple):
+    theta: jax.Array
+    r: jax.Array
+    J: jax.Array
+    cost: jax.Array
+    lam: jax.Array
+    nu: jax.Array
+    status: jax.Array
+    done: jax.Array
+    n_iter: jax.Array
+    nfev: jax.Array
+    njev: jax.Array
+    grad_norm: jax.Array
+
+
+def lm_fit(
+    residual_fn: Callable,
+    residual_and_jac_fn: Callable,
+    theta0: jax.Array,
+    config: FitConfig = FitConfig(),
+    lower: Optional[jax.Array] = None,
+    upper: Optional[jax.Array] = None,
+) -> FitResult:
+    """Minimize ``0.5 ||r(θ)||²`` from ``theta0``.
+
+    Args:
+      residual_fn: ``θ -> r`` (one plain integration pass).
+      residual_and_jac_fn: ``θ -> (r, J)`` (one sensitivity pass) —
+        J comes from forward sensitivities, never reverse-mode through the
+        solver loop (SURVEY.md §7 M5).
+      lower/upper: optional box bounds in θ (log) space; steps are clipped.
+    """
+    dtype = theta0.dtype
+    G = theta0.shape[0]
+
+    def clip_theta(th):
+        if lower is not None:
+            th = jnp.maximum(th, lower)
+        if upper is not None:
+            th = jnp.minimum(th, upper)
+        return th
+
+    r0, J0 = residual_and_jac_fn(theta0)
+    cost0 = 0.5 * jnp.sum(r0 * r0)
+    bad0 = ~(jnp.all(jnp.isfinite(r0)) & jnp.all(jnp.isfinite(J0)))
+
+    def i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    g0 = J0.T @ r0
+    state = _LMState(
+        theta=theta0, r=r0, J=J0, cost=cost0,
+        lam=jnp.asarray(config.lam0, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        status=jnp.where(bad0, i32(-1), i32(0)),
+        done=bad0, n_iter=i32(0), nfev=i32(0), njev=i32(1),
+        grad_norm=jnp.max(jnp.abs(g0)))
+
+    eps = jnp.finfo(dtype).eps
+
+    def cond(st: _LMState):
+        return ~st.done & (st.n_iter < config.max_iter)
+
+    def body(st: _LMState) -> _LMState:
+        A = st.J.T @ st.J
+        g = st.J.T @ st.r
+        diag = jnp.clip(jnp.diag(A), 1e-12, None)
+        M = A + st.lam * jnp.diag(diag)
+        delta = _lu.lu_solve(_lu.lu_factor(M), -g)
+
+        theta_t = clip_theta(st.theta + delta)
+        step = theta_t - st.theta
+        r_t = residual_fn(theta_t)
+        cost_t = 0.5 * jnp.sum(r_t * r_t)
+        finite_t = jnp.all(jnp.isfinite(r_t))
+
+        # gain ratio: actual vs model reduction
+        pred = 0.5 * (step @ (st.lam * diag * step - g))
+        pred = jnp.maximum(pred, eps)
+        rho = (st.cost - cost_t) / pred
+        accept = finite_t & (cost_t < st.cost)
+
+        # λ update (Nielsen): shrink on good gain, grow geometrically on
+        # rejection
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_new = jnp.where(
+            accept,
+            jnp.clip(st.lam * shrink, config.lam_min, config.lam_max),
+            jnp.clip(st.lam * st.nu, config.lam_min, config.lam_max))
+        nu_new = jnp.where(accept, 2.0, st.nu * 2.0)
+
+        # fresh Jacobian only on acceptance
+        def fresh():
+            r_n, J_n = residual_and_jac_fn(theta_t)
+            return r_n, J_n
+
+        def keep():
+            return st.r, st.J
+
+        r_new, J_new = lax.cond(accept, fresh, keep)
+        theta_new = jnp.where(accept, theta_t, st.theta)
+        cost_new = jnp.where(accept, cost_t, st.cost)
+        njev = st.njev + jnp.where(accept, 1, 0)
+
+        g_new = J_new.T @ r_new
+        g_norm = jnp.max(jnp.abs(g_new))
+
+        # termination (scipy/optimize/_lsq/common.py:705 semantics)
+        dcost = st.cost - cost_t
+        ftol_hit = accept & (dcost < config.ftol * st.cost)
+        xtol_hit = accept & (
+            jnp.linalg.norm(step)
+            < config.xtol * (config.xtol + jnp.linalg.norm(st.theta)))
+        gtol_hit = g_norm < config.gtol
+        # a rejected step at λ_max cannot make progress -> xtol-style stop
+        stuck = ~accept & (st.lam >= config.lam_max)
+
+        status = jnp.where(
+            gtol_hit, 1,
+            jnp.where(ftol_hit, 2,
+                      jnp.where(xtol_hit | stuck, 3, 0))).astype(jnp.int32)
+        done = status > 0
+
+        return _LMState(
+            theta=theta_new, r=r_new, J=J_new, cost=cost_new,
+            lam=lam_new, nu=nu_new, status=status, done=done,
+            n_iter=st.n_iter + 1, nfev=st.nfev + 1, njev=njev,
+            grad_norm=g_norm)
+
+    final = lax.while_loop(cond, body, state)
+    return FitResult(
+        theta=final.theta, cost=final.cost, grad_norm=final.grad_norm,
+        status=final.status, n_iter=final.n_iter, nfev=final.nfev,
+        njev=final.njev)

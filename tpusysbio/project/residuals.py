@@ -1,0 +1,201 @@
+"""The ``Project``: stacked weighted residuals and sensitivity Jacobians
+across a multi-experiment ensemble (SURVEY.md §2 #7, §3.1).
+
+Pipeline (all inside one jit, vmapped over experiments):
+
+1. θ (log space) -> per-experiment model parameters (mapping.py),
+2. integrate every experiment — states + forward sensitivities w.r.t. the
+   experiment's model parameters ride one column-block BDF solve
+   (solvers/bdf.py), dense output at the experiment's measurement grid,
+3. observables + their parameter sensitivities via ``jax.jvp`` chain rule,
+4. gather at measurement (time, observable) indices — one static gather,
+5. project-level scale factors B per measurement group with analytic dB/dθ
+   (scale_factors.py),
+6. residuals ``mask · (B·sim − data)/σ`` and Jacobian
+   ``mask · (B·dsim + sim·dB)/σ`` with the log-transform factor folded in
+   by the mapping chain (dp/dθ = p).
+
+The residual Jacobian is exact given exact trajectory sensitivities — the
+autodiff chain replaces the reference's hand-assembled chain rule
+(SURVEY.md §3.1 lower frames).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpusysbio.config import SolverConfig
+from tpusysbio.data import ExperimentBatch
+from tpusysbio.model.core import OdeModel
+from tpusysbio.project.mapping import ParameterMap
+from tpusysbio.project.scale_factors import (
+    scale_factors as _scale_factors,
+    scale_factors_and_grad as _scale_factors_and_grad,
+)
+from tpusysbio.sens import make_sens_rhs
+from tpusysbio import solvers
+
+
+class ProjectEval(NamedTuple):
+    """Full evaluation record (observability: SURVEY.md §5 metrics)."""
+
+    residuals: jax.Array          # (R,)
+    jacobian: Optional[jax.Array]  # (R, G) or None
+    cost: jax.Array               # 0.5 * sum(r^2)
+    scale: jax.Array              # (n_groups,) fitted scale factors
+    status: jax.Array             # (E,) per-experiment solver status
+    nsteps: jax.Array             # (E,)
+
+
+@dataclasses.dataclass(frozen=True)
+class Project:
+    """Objective assembly over an experiment batch.
+
+    ``residuals(θ)`` and ``residuals_and_jacobian(θ)`` are pure jittable
+    functions of θ — hand them to the LM optimizer (optim/lm.py) or vmap
+    them over a multi-start axis (fit/multistart.py).
+    """
+
+    model: OdeModel
+    pmap: ParameterMap
+    batch: ExperimentBatch
+    solver: str = "bdf"
+    config: SolverConfig = SolverConfig()
+
+    @property
+    def n_residuals(self) -> int:
+        return self.batch.n_residuals
+
+    @property
+    def n_theta(self) -> int:
+        return self.pmap.n_global
+
+    # ------------------------------------------------------------------
+    def _solver_fn(self):
+        return {"bdf": solvers.bdf_solve, "dopri5": solvers.dopri5_solve,
+                "rosenbrock": solvers.rosenbrock_solve}[self.solver]
+
+    def _sim_one(self, p_e, t0, t_end, t_eval, with_sens: bool):
+        model = self.model
+        solve = self._solver_fn()
+        y0 = model.y0(p_e)
+
+        def f(t, y):
+            return model.rhs(t, y, p_e)
+
+        if with_sens:
+            sens_rhs = make_sens_rhs(model.rhs, p_e)
+            s0 = jax.jacfwd(model.y0)(p_e)
+            res = solve(f, (t0, t_end), y0, t_eval, config=self.config,
+                        sens_rhs=sens_rhs, s0=s0)
+        else:
+            res = solve(f, (t0, t_end), y0, t_eval, config=self.config)
+
+        # observables g(y, p) and their total parameter derivative
+        def obs(y):
+            return model.observables(y, p_e)
+
+        obs_traj = jax.vmap(obs)(res.ys)  # (T, n_obs)
+
+        if with_sens:
+            P = p_e.shape[0]
+            eye = jnp.eye(P, dtype=p_e.dtype)
+
+            def obs_dcol(y, s_col, e_col):
+                return jax.jvp(lambda yy, pp: model.observables(yy, pp),
+                               (y, p_e), (s_col, e_col))[1]
+
+            # vmap over time, then over parameter columns
+            def per_t(y, S):
+                return jax.vmap(obs_dcol, in_axes=(None, 1, 0),
+                                out_axes=1)(y, S, eye)
+
+            obs_sens = jax.vmap(per_t)(res.ys, res.sens)  # (T, n_obs, P)
+        else:
+            obs_sens = None
+        return obs_traj, obs_sens, res.status, res.nsteps
+
+    # ------------------------------------------------------------------
+    def _gathered(self, theta, with_jac: bool):
+        b = self.batch
+        p_all = self.pmap.expand(theta)  # (E, P)
+
+        sim_fn = lambda p_e, t0, t_end, t_eval: self._sim_one(  # noqa: E731
+            p_e, t0, t_end, t_eval, with_sens=with_jac)
+        obs_traj, obs_sens, status, nsteps = jax.vmap(sim_fn)(
+            p_all, b.t0, b.t_end, b.t_eval)
+
+        # gather at measurement (time, observable) indices, per experiment
+        def gather(traj, t_idx, o_idx):
+            return traj[t_idx, o_idx]
+
+        sim = jax.vmap(gather)(obs_traj, b.m_t_idx, b.m_obs)  # (E, M)
+
+        if with_jac:
+            def gather_s(traj_s, t_idx, o_idx):
+                return traj_s[t_idx, o_idx, :]  # (M, P)
+
+            dsim_p = jax.vmap(gather_s)(obs_sens, b.m_t_idx, b.m_obs)
+            # chain to θ (log transform folded in): (E, M, P) @ (E, P, G)
+            chain = self.pmap.chain(theta)
+            dsim = jnp.einsum("emp,epg->emg", dsim_p, chain)
+        else:
+            dsim = None
+        return sim, dsim, status, nsteps
+
+    # ------------------------------------------------------------------
+    def evaluate(self, theta, with_jac: bool = False) -> ProjectEval:
+        b = self.batch
+        sim_em, dsim_emg, status, nsteps = self._gathered(theta, with_jac)
+        R = b.n_residuals
+        sim = sim_em.reshape(R)
+        data = b.values.reshape(R)
+        sigma = b.sigmas.reshape(R)
+        group = b.group.reshape(R)
+        mask = b.mask.reshape(R)
+        inv_var = 1.0 / (sigma * sigma)
+        inv_sig = jnp.where(mask, 1.0 / sigma, 0.0)
+
+        if with_jac:
+            dsim = dsim_emg.reshape(R, self.n_theta)
+            if b.n_groups:
+                B, dB = _scale_factors_and_grad(
+                    sim, dsim, data, inv_var, group, mask, b.n_groups)
+            else:
+                B = jnp.ones((1,), theta.dtype)
+                dB = jnp.zeros((1, self.n_theta), theta.dtype)
+            gclip = jnp.clip(group, 0, None)
+            B_row = jnp.where(group >= 0, B[gclip], 1.0)
+            dB_row = jnp.where((group >= 0)[:, None], dB[gclip], 0.0)
+            r = inv_sig * (B_row * sim - data)
+            J = inv_sig[:, None] * (B_row[:, None] * dsim
+                                    + sim[:, None] * dB_row)
+        else:
+            if b.n_groups:
+                B = _scale_factors(sim, data, inv_var, group, mask,
+                                   b.n_groups)
+            else:
+                B = jnp.ones((1,), theta.dtype)
+            gclip = jnp.clip(group, 0, None)
+            B_row = jnp.where(group >= 0, B[gclip], 1.0)
+            r = inv_sig * (B_row * sim - data)
+            J = None
+
+        cost = 0.5 * jnp.sum(r * r)
+        return ProjectEval(residuals=r, jacobian=J, cost=cost, scale=B,
+                           status=status, nsteps=nsteps)
+
+    # convenience closures -------------------------------------------------
+    def residuals(self, theta) -> jax.Array:
+        return self.evaluate(theta, with_jac=False).residuals
+
+    def residuals_and_jacobian(self, theta):
+        ev = self.evaluate(theta, with_jac=True)
+        return ev.residuals, ev.jacobian
+
+    def cost(self, theta) -> jax.Array:
+        return self.evaluate(theta, with_jac=False).cost

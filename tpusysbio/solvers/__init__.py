@@ -1,0 +1,26 @@
+"""Stiff and non-stiff ODE integrators as pure JAX programs.
+
+Replaces the reference's Fortran cores (ODEPACK LSODA entered at
+``scipy/integrate/_odepack_py.py:252``; SURVEY.md §2b) with steppers whose
+entire adaptive loop lives inside one jitted ``lax.while_loop`` — no per-step
+host callbacks, fully vmappable over multi-start ensembles.
+
+- ``bdf``        — variable-order (1-5) NDF/BDF, modified Newton with reused
+                   factorization; spec parity: ``scipy/integrate/_ivp/bdf.py``.
+- ``rosenbrock`` — ROS3P-family linearly-implicit stepper: no Newton
+                   iteration, fixed work per step — the best lockstep-vmap
+                   behavior for ensembles (SURVEY.md §7 M8).
+- ``dopri5``     — explicit RK45 (Dormand-Prince) for non-stiff problems.
+"""
+
+from tpusysbio.solvers.common import (  # noqa: F401
+    STATUS_RUNNING,
+    STATUS_DONE,
+    STATUS_TOO_SMALL_STEP,
+    STATUS_NONFINITE,
+    STATUS_MAX_STEPS,
+    IntegrateResult,
+)
+from tpusysbio.solvers.bdf import bdf_solve  # noqa: F401
+from tpusysbio.solvers.dopri5 import dopri5_solve  # noqa: F401
+from tpusysbio.solvers.rosenbrock import rosenbrock_solve  # noqa: F401

@@ -1,0 +1,454 @@
+"""Variable-order BDF/NDF stiff integrator as one jitted ``lax.while_loop``.
+
+Algorithm spec parity: ``scipy/integrate/_ivp/bdf.py`` (SURVEY.md §2 #9,
+§3.2) — NDF constants kappa/gamma/alpha (bdf.py:244-247), modified Newton
+with reused factorization (bdf.py:36-69), quasi-constant step via the
+difference array ``D`` with the ``change_D``/``compute_R`` rescaling,
+order adaptation from ``D[order±1]`` error estimates (bdf.py:421-448), and
+the ``BdfDenseOutput`` interpolant (bdf.py:457-479) for measurement-time
+alignment. Deliberate SciPy quirks preserved for step-sequence parity:
+``current_jac`` resets at each fresh step, and the factorization is NOT
+invalidated on an error-test rejection (stale ``c`` reused, bdf.py:397-398).
+
+TPU-native design decisions (NOT a port — SURVEY.md §7 M2):
+
+- The reference's three nested host loops (solve_ivp step loop ⇄ Fortran
+  LSODA ⇄ per-step Python RHS callbacks, SURVEY.md §3.1) collapse into one
+  ``lax.while_loop`` whose body performs exactly one step *attempt*; Newton
+  retry with a fresh Jacobian, step rejection, and acceptance are branchless
+  ``jnp.where`` merges of the full carry (SURVEY.md §7 hard part 2), so the
+  stepper vmaps over multi-start ensembles with per-member adaptivity.
+- State is a column block ``Y`` of shape (n, k): column 0 is the model state,
+  columns 1..m are forward sensitivities. The Newton matrix of the augmented
+  system is block-diagonal with identical blocks ``I - c J``, so one
+  factorization serves state and all sensitivity columns as a single
+  (n, k) multi-RHS solve — the CVODES staggered/simultaneous-corrector trick
+  (SURVEY.md §3.3) expressed as a matmul, which is the MXU-friendly shape.
+- ``t_eval`` alignment evaluates the dense-output polynomial at ALL static
+  output times after each accepted step under a mask — static shapes, no
+  restarts at measurement times (SURVEY.md §3.2 rebuild note).
+- All linear algebra goes through ``tpusysbio.linalg`` (the stock XLA LU is
+  f64-broken on this TPU — SURVEY.md §7 environment notes).
+
+Only forward integration (``t_span[1] > t_span[0]``) is supported; the
+domain never integrates backward (adjoints are out of scope by design —
+forward sensitivities are the Jacobian source, BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpusysbio.config import SolverConfig
+from tpusysbio.linalg import make_linear_solver
+from tpusysbio.solvers import common
+from tpusysbio.solvers.common import (
+    STATUS_DONE,
+    STATUS_MAX_STEPS,
+    STATUS_RUNNING,
+    STATUS_TOO_SMALL_STEP,
+    IntegrateResult,
+    rms_norm,
+)
+
+MAX_ORDER = 5
+NEWTON_MAXITER = 4
+_DEBUG = False  # eager-mode (disable_jit) tracing of step decisions
+# Rows of the difference array: D[0..order+2] live, order <= 5 -> 8 rows.
+D_ROWS = MAX_ORDER + 3
+
+
+def _ndf_constants(dtype):
+    """NDF modification constants (bdf.py:244-247)."""
+    kappa = jnp.array([0.0, -0.1850, -1 / 9, -0.0823, -0.0415, 0.0], dtype)
+    k = jnp.arange(1, MAX_ORDER + 1, dtype=dtype)
+    gamma = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(1.0 / k)])
+    alpha = (1.0 - kappa) * gamma
+    error_const = kappa * gamma + 1.0 / jnp.arange(1, MAX_ORDER + 2, dtype=dtype)
+    return kappa, gamma, alpha, error_const
+
+
+def _compute_R(factor, dtype):
+    """Full (MAX_ORDER+1)^2 difference-rescaling matrix (bdf.py compute_R).
+
+    Entries are independent of the working order: ``compute_R(order, f)`` is
+    the leading submatrix of ``compute_R(MAX_ORDER, f)``, so one full static
+    matrix plus masking replaces the reference's dynamically-sized one.
+    """
+    i = jnp.arange(MAX_ORDER + 1, dtype=dtype)[:, None]
+    j = jnp.arange(MAX_ORDER + 1, dtype=dtype)[None, :]
+    body = (i - 1.0 - factor * j) / jnp.maximum(i, 1.0)
+    m = jnp.where(i == 0, 1.0, jnp.where(j == 0, 0.0, body))
+    return jnp.cumprod(m, axis=0)
+
+
+def _change_D(D, order, factor):
+    """Rescale differences for a step-size change (bdf.py change_D).
+
+    Applies ``(R(order, factor) @ R(order, 1)).T`` to ``D[:order+1]`` with a
+    runtime ``order`` via a D_ROWS² masked transform embedded in the
+    identity — one einsum, no dynamic slicing.
+    """
+    dtype = D.dtype
+    P = _compute_R(factor, dtype) @ _compute_R(jnp.ones((), dtype), dtype)
+    rows = jnp.arange(D_ROWS)
+    i = rows[:, None]
+    j = rows[None, :]
+    Ppad = jnp.zeros((D_ROWS, D_ROWS), dtype)
+    Ppad = Ppad.at[: MAX_ORDER + 1, : MAX_ORDER + 1].set(P)
+    in_block = (i <= order) & (j <= order)
+    eye = (i == j).astype(dtype)
+    # D_new[i] = sum_j P[j, i] * D[j] within the block, identity outside.
+    T = jnp.where(in_block, Ppad.T, eye)
+    return jnp.einsum("ij,j...->i...", T, D)
+
+
+class _BDFState(NamedTuple):
+    t: jax.Array
+    h_abs: jax.Array
+    order: jax.Array          # int32, 1..5
+    D: jax.Array              # (D_ROWS, n, k) difference array
+    J: jax.Array              # (n, n) cached state Jacobian
+    fact: object              # factorization pytree of I - c*J
+    lu_valid: jax.Array       # bool: fact usable (SciPy reuse semantics)
+    current_jac: jax.Array    # bool: J evaluated at current attempt point
+    last_accepted: jax.Array  # bool: previous body iteration accepted a step
+    n_equal_steps: jax.Array  # int32
+    status: jax.Array         # int32
+    ys_acc: jax.Array         # (T, n, k) dense output accumulator
+    nsteps: jax.Array
+    naccepted: jax.Array
+    nrejected: jax.Array
+    nfev: jax.Array
+    njev: jax.Array
+    nlu: jax.Array
+
+
+def bdf_solve(
+    f: Callable,
+    t_span,
+    y0: jax.Array,
+    t_eval: jax.Array,
+    config: SolverConfig = SolverConfig(),
+    sens_rhs: Optional[Callable] = None,
+    s0: Optional[jax.Array] = None,
+) -> IntegrateResult:
+    """Integrate ``dy/dt = f(t, y)`` from t_span[0] to t_span[1] (forward).
+
+    Args:
+      f: RHS ``f(t, y) -> (n,)`` (parameters closed over).
+      t_span: ``(t0, t1)`` with ``t1 > t0``.
+      y0: initial state ``(n,)``.
+      t_eval: static sorted output times within ``[t0, t1]``.
+      config: solver configuration (tolerances, step budget, linear solver).
+      sens_rhs: optional ``(t, y, S) -> (n, m)`` computing the forward
+        sensitivity RHS ``(∂f/∂y) S + ∂f/∂p`` (built via ``jax.jvp`` by
+        ``tpusysbio.sens``); enables in-stepper sensitivities. Requires
+        ``s0`` of shape (n, m) (``dy0/dp``; zeros when y0 is
+        parameter-independent).
+
+    Returns an ``IntegrateResult`` with ``ys`` (T, n), ``sens`` (T, n, m).
+    """
+    dtype = jnp.result_type(y0.dtype)
+    y0 = jnp.asarray(y0, dtype)
+    t0 = jnp.asarray(t_span[0], dtype)
+    t_bound = jnp.asarray(t_span[1], dtype)
+    n = y0.shape[0]
+    t_eval = jnp.asarray(t_eval, dtype)
+
+    if sens_rhs is not None:
+        if s0 is None:
+            raise ValueError("sens_rhs requires s0 of shape (n, m)")
+        m = s0.shape[1]
+    else:
+        m = 0
+    k = 1 + m
+
+    if sens_rhs is None:
+        def faug(t, Y):
+            return f(t, Y[:, 0])[:, None]
+    else:
+        def faug(t, Y):
+            y = Y[:, 0]
+            fy = f(t, y)
+            fs = sens_rhs(t, y, Y[:, 1:])
+            return jnp.concatenate([fy[:, None], fs], axis=1)
+
+    def jac(t, y):
+        return jax.jacfwd(lambda yy: f(t, yy))(y)
+
+    factor_fn, solve_fn = make_linear_solver(config.linear_solver)
+    _, gamma, alpha, error_const = _ndf_constants(dtype)
+    eps = jnp.finfo(dtype).eps
+    newton_tol = max(10 * float(eps) / config.rtol,
+                     min(0.03, config.rtol ** 0.5))
+    rtol, atol = config.rtol, config.atol
+    max_step = jnp.asarray(config.max_step, dtype)
+    I_n = jnp.eye(n, dtype=dtype)
+    rows = jnp.arange(D_ROWS)
+    gamma_pad = jnp.pad(gamma, (0, D_ROWS - MAX_ORDER - 1))
+    ks5 = jnp.arange(1, MAX_ORDER + 1)
+
+    # --- initialization (bdf.py __init__) -------------------------------
+    Y0 = y0[:, None]
+    if m:
+        Y0 = jnp.concatenate([Y0, jnp.asarray(s0, dtype)], axis=1)
+    F0 = faug(t0, Y0)
+    f0 = F0[:, 0]
+    if config.first_step is None:
+        h0 = common.select_initial_step(
+            f, t0, y0, f0, t_bound, config.max_step, rtol, atol, order=1)
+    else:
+        h0 = jnp.asarray(config.first_step, dtype)
+    h0 = jnp.minimum(h0, jnp.abs(t_bound - t0))
+
+    D0 = jnp.zeros((D_ROWS, n, k), dtype)
+    D0 = D0.at[0].set(Y0)
+    D0 = D0.at[1].set(F0 * h0)
+
+    J0 = jac(t0, y0)
+    fact0 = factor_fn(I_n)  # placeholder with the right pytree structure
+
+    # prefill outputs at t_eval points exactly at t0
+    ys0 = jnp.where((t_eval == t0)[:, None, None],
+                    Y0[None], jnp.zeros((t_eval.shape[0], n, k), dtype))
+
+    def i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    state = _BDFState(
+        t=t0, h_abs=h0, order=i32(1), D=D0, J=J0, fact=fact0,
+        lu_valid=jnp.asarray(False), current_jac=jnp.asarray(False),
+        last_accepted=jnp.asarray(True),
+        n_equal_steps=i32(0), status=i32(STATUS_RUNNING), ys_acc=ys0,
+        nsteps=i32(0), naccepted=i32(0), nrejected=i32(0),
+        nfev=i32(1 + (0 if config.first_step is not None else 2)),
+        njev=i32(1), nlu=i32(0),
+    )
+
+    def cond(st: _BDFState):
+        return st.status == STATUS_RUNNING
+
+    def body(st: _BDFState) -> _BDFState:
+        t, order = st.t, st.order
+        orderf = order.astype(dtype)
+        h_abs = st.h_abs
+        D = st.D
+        lu_valid = st.lu_valid
+        n_equal_steps = st.n_equal_steps
+
+        # ~10 ulp of t (jnp.nextafter breaks the TPU f64 rewriter; the
+        # eps-based spacing is equivalent for the underflow guard)
+        min_step = 10 * jnp.finfo(dtype).eps * jnp.abs(t)
+        # At a fresh step SciPy clamps h into [min_step, max_step] with a
+        # change_D rescale (bdf.py:315-323); inside a retry sequence
+        # h < min_step is fatal (bdf.py:340-341).
+        too_small = (h_abs < min_step) & ~st.last_accepted
+        h_clamped = jnp.clip(h_abs, min_step, max_step)
+        pre_clamp = st.last_accepted & (h_clamped != h_abs)
+        D = jnp.where(pre_clamp, _change_D(D, order, h_clamped / h_abs), D)
+        n_equal_steps = jnp.where(pre_clamp, 0, n_equal_steps)
+        h_abs = jnp.where(st.last_accepted, h_clamped, h_abs)
+
+        # clip the final step to t_bound, rescaling D (bdf.py:345-350)
+        t_new_raw = t + h_abs
+        clipped = t_new_raw > t_bound
+        t_new = jnp.where(clipped, t_bound, t_new_raw)
+        h = t_new - t
+        clip_factor = jnp.where(clipped, h / h_abs, jnp.ones((), dtype))
+        D = jnp.where(clipped, _change_D(D, order, clip_factor), D)
+        n_equal_steps = jnp.where(clipped, 0, n_equal_steps)
+        lu_valid = lu_valid & ~clipped
+        h_abs = h
+
+        # --- prediction (bdf.py:355-358) ---
+        pred_mask = (rows <= order).astype(dtype)
+        y_predict = jnp.einsum("i,i...->...", pred_mask, D)
+        psi_w = jnp.where((rows >= 1) & (rows <= order), gamma_pad[rows], 0.0)
+        c = h / alpha[order]
+        psi = jnp.einsum("i,i...->...", psi_w, D) / alpha[order]
+        scale_state = atol + rtol * jnp.abs(y_predict[:, 0])
+
+        # --- factorization (reused while SciPy would reuse it) ---
+        fact = lax.cond(
+            lu_valid,
+            lambda: st.fact,
+            lambda: factor_fn(I_n - c * st.J),
+        )
+        nlu = st.nlu + jnp.where(lu_valid, 0, 1)
+
+        # --- modified Newton, fixed NEWTON_MAXITER trips, masked (bdf.py:36-69)
+        def newton_body(it, carry):
+            Y, d, dy_norm_old, n_iter, converged, failed = carry
+            active = ~(converged | failed)
+            Fv = faug(t_new, Y)
+            nonfinite = ~jnp.all(jnp.isfinite(Fv))
+            dy = solve_fn(fact, c * Fv - psi - d)
+            dy_norm = rms_norm(dy[:, 0] / scale_state)
+            rate = dy_norm / jnp.where(dy_norm_old > 0, dy_norm_old, 1.0)
+            have_rate = it > 0
+            diverged = have_rate & (
+                (rate >= 1.0)
+                | (rate ** (NEWTON_MAXITER - it) / (1.0 - rate) * dy_norm
+                   > newton_tol))
+            ok = active & ~nonfinite & ~diverged
+            Y = jnp.where(ok, Y + dy, Y)
+            d = jnp.where(ok, d + dy, d)
+            conv_now = ok & ((dy_norm == 0.0)
+                             | (have_rate
+                                & (rate / (1.0 - rate) * dy_norm < newton_tol)))
+            converged = converged | conv_now
+            failed = failed | (active & (nonfinite | diverged))
+            n_iter = n_iter + jnp.where(active, 1, 0)
+            dy_norm_old = jnp.where(ok, dy_norm, dy_norm_old)
+            return Y, d, dy_norm_old, n_iter, converged, failed
+
+        init = (y_predict, jnp.zeros_like(y_predict), jnp.zeros((), dtype),
+                jnp.zeros((), jnp.int32), jnp.asarray(False),
+                jnp.asarray(False))
+        Y_new, d, _, n_iter, converged, _ = lax.fori_loop(
+            0, NEWTON_MAXITER, newton_body, init)
+        nfev = st.nfev + n_iter
+
+        # --- outcome classification (bdf.py:362-401) ---
+        # B: Newton failed with a stale J -> refresh J, retry at same h.
+        case_B = ~converged & ~st.current_jac
+        # C: Newton failed with fresh J -> halve the step.
+        case_C = ~converged & st.current_jac
+        J = lax.cond(case_B, lambda: jac(t_new, y_predict[:, 0]),
+                     lambda: st.J)
+        njev = st.njev + jnp.where(case_B, 1, 0)
+
+        safety = (config.safety * (2 * NEWTON_MAXITER + 1)
+                  / (2 * NEWTON_MAXITER + n_iter.astype(dtype)))
+        scale_new = atol + rtol * jnp.abs(Y_new[:, 0])
+        err = error_const[order] * d
+        if config.sens_error_control and m:
+            scale_full = atol + rtol * jnp.abs(Y_new)
+            error_norm = rms_norm(err / scale_full)
+        else:
+            error_norm = rms_norm(err[:, 0] / scale_new)
+        reject = converged & (error_norm > 1.0)
+        accept = converged & ~reject
+
+        # --- D update on accept (bdf.py:409-415) ---
+        D_acc = D
+        D_acc = D_acc.at[order + 2].set(d - D_acc[order + 1])
+        D_acc = D_acc.at[order + 1].set(d)
+
+        # D[i] += D[i+1] for i = order..0 (downward sweep, masked)
+        def cum_body(jj, Dc):
+            idx = (order - jj) % D_ROWS
+            upd = Dc[idx] + Dc[(idx + 1) % D_ROWS]
+            return Dc.at[idx].set(jnp.where(jj <= order, upd, Dc[idx]))
+
+        D_acc = lax.fori_loop(0, MAX_ORDER + 1, cum_body, D_acc)
+
+        n_equal_acc = n_equal_steps + 1
+        # --- order/step adaptation once n_equal > order (bdf.py:421-448) ---
+        do_adapt = accept & (n_equal_acc >= order + 1)
+        ec_m = error_const[jnp.maximum(order - 1, 0)]
+        ec_p = error_const[jnp.minimum(order + 1, MAX_ORDER + 1)]
+        err_m = ec_m * D_acc[order]
+        err_p = ec_p * D_acc[order + 2]
+        inf_ = jnp.asarray(jnp.inf, dtype)
+        if config.sens_error_control and m:
+            scale_full = atol + rtol * jnp.abs(Y_new)
+            err_m_norm = jnp.where(order > 1,
+                                   rms_norm(err_m / scale_full), inf_)
+            err_p_norm = jnp.where(order < MAX_ORDER,
+                                   rms_norm(err_p / scale_full), inf_)
+        else:
+            err_m_norm = jnp.where(order > 1,
+                                   rms_norm(err_m[:, 0] / scale_new), inf_)
+            err_p_norm = jnp.where(order < MAX_ORDER,
+                                   rms_norm(err_p[:, 0] / scale_new), inf_)
+        error_norms = jnp.stack([err_m_norm, error_norm, err_p_norm])
+        exponents = -1.0 / (orderf + jnp.arange(3, dtype=dtype))
+        factors = jnp.where(error_norms > 0, error_norms, eps) ** exponents
+        best = jnp.argmax(factors).astype(jnp.int32)
+        order_adapt = jnp.clip(order + best - 1, 1, MAX_ORDER)
+        factor_adapt = jnp.minimum(config.max_factor, safety * jnp.max(factors))
+
+        if _DEBUG:
+            print(f"dbg t={float(t):.6e} h={float(h_abs):.4e} "
+                  f"ord={int(order)} n_iter={int(n_iter)} "
+                  f"conv={bool(converged)} err={float(error_norm):.4e} "
+                  f"em={float(err_m_norm):.4e} ep={float(err_p_norm):.4e} "
+                  f"adapt={bool(do_adapt)} best={int(best)} "
+                  f"fadapt={float(factor_adapt):.4f}")
+
+        # merge the h-factor for the three D-rescaling cases
+        factor_rej = jnp.maximum(
+            config.min_factor, safety * error_norm ** (-1.0 / (orderf + 1.0)))
+        h_factor = jnp.where(
+            case_C, 0.5,
+            jnp.where(reject, factor_rej,
+                      jnp.where(do_adapt, factor_adapt, 1.0)))
+        change = case_C | reject | do_adapt
+        order_new = jnp.where(do_adapt, order_adapt, order)
+        D_base = jnp.where(accept, D_acc, D)
+        D_new = jnp.where(change, _change_D(D_base, order_new, h_factor),
+                          D_base)
+        h_new = h_abs * jnp.where(change, h_factor, 1.0)
+
+        t_next = jnp.where(accept, t_new, t)
+        n_equal_new = jnp.where(accept & ~do_adapt, n_equal_acc, 0)
+        # SciPy keeps the factorization across error-test rejections
+        # (stale c, bdf.py:397-398); only Newton failure, Jacobian refresh,
+        # or order/step adaptation invalidate it.
+        lu_valid_new = ~(case_B | case_C | do_adapt)
+        current_jac_new = jnp.where(case_B, True,
+                                    jnp.where(accept, False, st.current_jac))
+
+        # --- dense output at t_eval (BdfDenseOutput, bdf.py:457-479) ---
+        # Uses post-update D/order/h: the change_D rescaling preserves the
+        # interpolating polynomial, matching SciPy's _dense_output_impl.
+        def interp(tv):
+            jj = jnp.arange(MAX_ORDER, dtype=dtype)
+            t_shift = t_new - h_new * jj
+            denom = h_new * (1.0 + jj)
+            x = (tv[:, None] - t_shift[None, :]) / denom
+            p = jnp.cumprod(x, axis=1)
+            p = jnp.where(ks5[None, :] <= order_new, p, 0.0)
+            return D_new[0][None] + jnp.einsum("tj,jnk->tnk", p,
+                                               D_new[1:MAX_ORDER + 1])
+
+        ys_acc = jnp.where(
+            accept,
+            common.interp_accumulate(t_eval, t, t_new, interp, st.ys_acc),
+            st.ys_acc)
+
+        done = accept & (t_new >= t_bound)
+        nsteps = st.nsteps + 1
+        status = jnp.where(
+            done, STATUS_DONE,
+            jnp.where(nsteps >= config.max_steps, STATUS_MAX_STEPS,
+                      STATUS_RUNNING)).astype(jnp.int32)
+
+        new_st = _BDFState(
+            t=t_next, h_abs=h_new, order=order_new, D=D_new, J=J, fact=fact,
+            lu_valid=lu_valid_new, current_jac=current_jac_new,
+            last_accepted=accept,
+            n_equal_steps=n_equal_new, status=status, ys_acc=ys_acc,
+            nsteps=nsteps, naccepted=st.naccepted + jnp.where(accept, 1, 0),
+            nrejected=st.nrejected + jnp.where(reject | case_C, 1, 0),
+            nfev=nfev, njev=njev, nlu=nlu)
+
+        # a fatal underflow freezes the state (failed members are masked
+        # out downstream, never aborting a vmapped batch)
+        frozen = st._replace(status=i32(STATUS_TOO_SMALL_STEP))
+        return jax.tree.map(
+            lambda a, b: jnp.where(too_small, a, b), frozen, new_st)
+
+    final = lax.while_loop(cond, body, state)
+    ys = final.ys_acc[:, :, 0]
+    sens = final.ys_acc[:, :, 1:]
+    return IntegrateResult(
+        ys=ys, sens=sens, status=final.status, nsteps=final.nsteps,
+        naccepted=final.naccepted, nrejected=final.nrejected,
+        nfev=final.nfev, njev=final.njev, nlu=final.nlu)

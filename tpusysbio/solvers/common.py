@@ -1,0 +1,102 @@
+"""Shared stepper infrastructure: norms, initial-step heuristic, statuses.
+
+Spec parity targets (SURVEY.md §2 #11):
+- RMS norm: ``scipy/integrate/_ivp/common.py:63-65``
+- Hairer initial-step heuristic: ``select_initial_step``,
+  ``scipy/integrate/_ivp/common.py:68-134``
+
+Status codes replace the reference stack's mixed error signalling
+(``odeint`` warnings at ``scipy/integrate/_odepack_py.py:256-259``, MINPACK
+``ier`` flags) with per-member integer codes carried in the solver state —
+jit-compatible, and maskable across a vmapped ensemble so one failed member
+never aborts the batch (SURVEY.md §5 failure detection).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+STATUS_RUNNING = 0
+STATUS_DONE = 1
+STATUS_TOO_SMALL_STEP = 2   # h underflowed machine spacing (bdf.py:340-341 analogue)
+STATUS_NONFINITE = 3        # RHS produced non-finite values (bdf.py:44-45 analogue)
+STATUS_MAX_STEPS = 4        # step budget exhausted (lockstep safety net)
+
+
+def rms_norm(x: jax.Array) -> jax.Array:
+    """sqrt(mean(x^2)) over all elements (common.py:63-65)."""
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+class IntegrateResult(NamedTuple):
+    """Dense-output evaluations at the requested times plus diagnostics.
+
+    ``ys``: (T, n) solution at ``t_eval``; ``sens``: (T, n, m) forward
+    sensitivities (zeros when m == 0). Diagnostic counters mirror the
+    reference's ``full_output=1`` channel (``nfev/njev/nlu``,
+    ``scipy/integrate/_odepack_py.py:264-265``; SURVEY.md §5 tracing).
+    """
+
+    ys: jax.Array
+    sens: jax.Array
+    status: jax.Array       # int32 scalar, one of STATUS_*
+    nsteps: jax.Array
+    naccepted: jax.Array
+    nrejected: jax.Array
+    nfev: jax.Array
+    njev: jax.Array
+    nlu: jax.Array
+
+    @property
+    def success(self):
+        return self.status == STATUS_DONE
+
+
+def select_initial_step(f, t0, y0, f0, t_bound, max_step, rtol, atol, order):
+    """Hairer-Wanner initial step size (common.py:68-134, direction=+1).
+
+    ``order`` is the error-estimator order + 1 exponent used by SciPy
+    (e.g. 1 for BDF start at order 1, 5 for RK45).
+    """
+    dtype = y0.dtype
+    scale = atol + jnp.abs(y0) * rtol
+    d0 = rms_norm(y0 / scale)
+    d1 = rms_norm(f0 / scale)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), jnp.asarray(1e-6, dtype),
+                   0.01 * d0 / d1)
+    interval = jnp.abs(t_bound - t0)
+    h0 = jnp.minimum(h0, 0.5 * interval)
+
+    y1 = y0 + h0 * f0
+    f1 = f(t0 + h0, y1)
+    d2 = rms_norm((f1 - f0) / scale) / h0
+
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(jnp.asarray(1e-6, dtype), h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / (order + 1.0)),
+    )
+    h = jnp.minimum(jnp.minimum(100 * h0, h1),
+                    jnp.minimum(interval, jnp.asarray(max_step, dtype)))
+    return h
+
+
+def interp_accumulate(t_eval, t_old, t_new, interp_fn, ys_acc):
+    """Fold dense output into the ``t_eval`` accumulator after an accepted step.
+
+    Rather than restarting integration at each measurement time (the
+    reference evaluates solver output at experimental timepoints,
+    BASELINE.json:5), the interpolant for the just-accepted step is evaluated
+    at ALL static ``t_eval`` points and written where
+    ``t_old < t <= t_new`` — static shapes, no data-dependent control flow
+    (SURVEY.md §3.2 rebuild note).
+
+    ``interp_fn(t_vec) -> (T, ...)``; ``ys_acc``: (T, ...) accumulator.
+    """
+    mask = (t_eval > t_old) & (t_eval <= t_new)
+    vals = interp_fn(t_eval)
+    mask_b = mask.reshape(mask.shape + (1,) * (ys_acc.ndim - 1))
+    return jnp.where(mask_b, vals, ys_acc)
