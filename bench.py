@@ -41,7 +41,22 @@ T_SPAN = (0.0, 100.0)
 N_T = 41
 
 
+def _wait_for_backend(max_tries: int = 5, sleep_s: float = 20.0):
+    """The axon TPU plugin fails to register when another process holds the
+    tunnel; retry instead of dying (observed intermittently)."""
+    for i in range(max_tries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:  # pragma: no cover - env-dependent
+            if i == max_tries - 1:
+                raise
+            print(f"backend init failed ({e}); retry {i + 1}/{max_tries}",
+                  file=sys.stderr)
+            time.sleep(sleep_s)
+
+
 def main():
+    _wait_for_backend()
     model = library.mapk_huang_ferrell()
     p_true = jnp.asarray(library.mapk_true_params())
     t_eval = jnp.linspace(*T_SPAN, N_T)
