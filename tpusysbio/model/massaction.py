@@ -52,15 +52,30 @@ class MassActionNetwork:
 
     def rhs(self) -> Callable:
         """Return ``f(t, y, p) -> dy/dt`` (p = rate constants, one per
-        reaction). ``0 ** 0 == 1`` in jnp so absent species are inert."""
+        reaction).
+
+        Exponents are tiny static integers, so the monomials use branchless
+        repeated multiplication instead of ``jnp.power`` — TPU lowers pow
+        to ``exp(e·log(b))``, which turns the mass-action convention
+        ``0^0 = 1`` into NaN (and costs transcendentals). Elementary
+        reactions never exceed exponent 2; 3 is allowed for safety.
+        """
+        max_exp = int(self.reactants.max()) if self.reactants.size else 0
+        if max_exp > 3:
+            raise ValueError("reaction order > 3 not supported")
         R = jnp.asarray(self.reactants)
         S = jnp.asarray(self.stoich)
 
         def f(t, y, p):
             del t
-            monomials = jnp.prod(jnp.power(y[None, :], R), axis=1)
-            rates = p * monomials
-            return (S.astype(y.dtype) @ rates.astype(y.dtype))
+            yb = jnp.broadcast_to(y[None, :], R.shape)
+            one = jnp.ones((), y.dtype)
+            term = jnp.where(R == 0, one,
+                             jnp.where(R == 1, yb,
+                                       jnp.where(R == 2, yb * yb,
+                                                 yb * yb * yb)))
+            rates = p * jnp.prod(term, axis=1)
+            return S.astype(y.dtype) @ rates.astype(y.dtype)
 
         return f
 

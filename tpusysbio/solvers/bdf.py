@@ -332,7 +332,11 @@ def bdf_solve(
             error_norm = rms_norm(err / scale_full)
         else:
             error_norm = rms_norm(err[:, 0] / scale_new)
-        reject = converged & (error_norm > 1.0)
+        # NaN compares false, which would silently ACCEPT a garbage step;
+        # force non-finite error estimates onto the rejection path.
+        bad_err = ~jnp.isfinite(error_norm)
+        error_norm = jnp.where(bad_err, jnp.asarray(2.0, dtype), error_norm)
+        reject = converged & ((error_norm > 1.0) | bad_err)
         accept = converged & ~reject
 
         # --- D update on accept (bdf.py:409-415) ---
@@ -369,7 +373,12 @@ def bdf_solve(
                                    rms_norm(err_p[:, 0] / scale_new), inf_)
         error_norms = jnp.stack([err_m_norm, error_norm, err_p_norm])
         exponents = -1.0 / (orderf + jnp.arange(3, dtype=dtype))
-        factors = jnp.where(error_norms > 0, error_norms, eps) ** exponents
+        # TPU emulated-f64 pow(inf, negative) yields NaN (not 0); guard the
+        # inf/non-finite markers explicitly instead of relying on pow.
+        finite_norm = jnp.isfinite(error_norms)
+        safe_norms = jnp.where(finite_norm,
+                               jnp.maximum(error_norms, eps), 1.0)
+        factors = jnp.where(finite_norm, safe_norms ** exponents, 0.0)
         best = jnp.argmax(factors).astype(jnp.int32)
         order_adapt = jnp.clip(order + best - 1, 1, MAX_ORDER)
         factor_adapt = jnp.minimum(config.max_factor, safety * jnp.max(factors))
