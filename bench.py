@@ -35,7 +35,7 @@ from tpusysbio.model import library  # noqa: E402
 from tpusysbio.sens import make_sens_rhs  # noqa: E402
 from tpusysbio.solvers import bdf_solve  # noqa: E402
 
-BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "128"))
 REPEATS = int(os.environ.get("TPUSYSBIO_BENCH_REPEATS", "3"))
 T_SPAN = (0.0, 100.0)
 N_T = 41
