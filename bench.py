@@ -37,6 +37,7 @@ from tpusysbio.solvers import bdf_solve  # noqa: E402
 
 BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "128"))
 REPEATS = int(os.environ.get("TPUSYSBIO_BENCH_REPEATS", "3"))
+SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "inv")
 T_SPAN = (0.0, 100.0)
 N_T = 41
 
@@ -61,7 +62,7 @@ def main():
     p_true = jnp.asarray(library.mapk_true_params())
     t_eval = jnp.linspace(*T_SPAN, N_T)
     cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024,
-                       linear_solver="inv")
+                       linear_solver=SOLVER)
 
     def integrate(p):
         sens_rhs = make_sens_rhs(model.rhs, p)

@@ -90,3 +90,58 @@ def test_max_steps_flags_not_raises():
                     model.y0(p), jnp.asarray([0.0, 30.0]), config=cfg)
     assert int(res.status) != STATUS_DONE
     assert np.all(np.isfinite(np.asarray(res.ys)))
+
+
+@pytest.mark.parametrize("name,builder,true_p,t_end,tol", [
+    ("mm3", library.michaelis_menten, library.MM_TRUE_PARAMS, 10.0, 1e-6),
+])
+def test_radau_trajectory(golden, name, builder, true_p, t_end, tol):
+    from tpusysbio.solvers import radau_solve
+
+    g = golden(name)
+    model = builder()
+    p = jnp.asarray(g["p"])
+    res = radau_solve(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                      model.y0(p), jnp.asarray(g["t_eval"]), config=CFG)
+    assert int(res.status) == STATUS_DONE
+    assert _relerr(np.asarray(res.ys), g["ys"]) < 1e-4
+
+
+@pytest.mark.slow
+def test_radau_mapk22_stiff(golden):
+    from tpusysbio.solvers import radau_solve
+
+    g = golden("mapk22")
+    model = library.mapk_huang_ferrell()
+    p = jnp.asarray(g["p"])
+    cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024)
+    res = radau_solve(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                      model.y0(p), jnp.asarray(g["t_eval"]), config=cfg)
+    assert int(res.status) == STATUS_DONE
+    err = np.max(np.abs(np.asarray(res.ys) - g["ys"])) / np.max(
+        np.abs(g["ys"]))
+    assert err < 1e-6  # order 5 at rtol=1e-6 is near reference accuracy
+    # order-5 stiff: SciPy Radau does this in ~126 steps
+    assert int(res.nsteps) < 300
+
+
+def test_radau_sensitivities_vs_bdf():
+    from tpusysbio.solvers import radau_solve
+    from tpusysbio.sens import make_sens_rhs
+
+    model = library.michaelis_menten()
+    p = jnp.asarray(library.MM_TRUE_PARAMS)
+    t_eval = jnp.linspace(0.0, 10.0, 6)
+    cfg = SolverConfig(rtol=1e-8, atol=1e-11)
+    sens_rhs = make_sens_rhs(model.rhs, p)
+    s0 = jnp.zeros((3, 4))
+    r1 = radau_solve(lambda t, y: model.rhs(t, y, p), (0.0, 10.0),
+                     model.y0(p), t_eval, config=cfg, sens_rhs=sens_rhs,
+                     s0=s0)
+    r2 = bdf_solve(lambda t, y: model.rhs(t, y, p), (0.0, 10.0),
+                   model.y0(p), t_eval, config=cfg, sens_rhs=sens_rhs,
+                   s0=s0)
+    assert int(r1.status) == STATUS_DONE
+    s_a, s_b = np.asarray(r1.sens), np.asarray(r2.sens)
+    scale = 1e-6 + np.max(np.abs(s_b))
+    assert np.max(np.abs(s_a - s_b)) / scale < 1e-5

@@ -43,11 +43,13 @@ class SolverConfig:
     # 'lu'    : pivoted LU factor + triangular solves (pure JAX, f64-safe on TPU)
     # 'inv'   : explicit inverse via LU, each Newton solve becomes one matmul
     #           (best lockstep-vmap throughput on the MXU)
+    # 'inv32' : f32 LU inverse + two f64 Newton-Schulz refinements — the
+    #           O(n^3) elimination runs in fast f32, solves stay f64 matmuls
     # 'pallas': Pallas VMEM-resident batched factor+solve kernel
     linear_solver: str = "inv"
 
     def __post_init__(self):
-        if self.linear_solver not in ("lu", "inv", "pallas"):
+        if self.linear_solver not in ("lu", "inv", "inv32", "pallas"):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
 
 

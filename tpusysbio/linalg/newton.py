@@ -52,6 +52,23 @@ def make_linear_solver(kind: str) -> Tuple[Callable, Callable]:
 
         return factor, solve
 
+    if kind == "inv32":
+        # Mixed precision (SURVEY.md §7 hard part 3): factor in fast f32,
+        # lift to ~f64 with two Newton-Schulz refinement steps whose
+        # matmuls run in (emulated) f64. Each Newton solve stays one
+        # f64 matmul; the O(n^3) elimination leaves the slow emulated path.
+        def factor(a):
+            x = _lu.lu_inverse(a.astype(jnp.float32)).astype(a.dtype)
+            eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+            x = x + x @ (eye - a @ x)
+            x = x + x @ (eye - a @ x)
+            return x
+
+        def solve(ainv, b):
+            return ainv @ b
+
+        return factor, solve
+
     if kind == "pallas":
         # Imported lazily: the Pallas kernel is only compiled when requested.
         from tpusysbio.linalg import pallas_lu

@@ -58,8 +58,7 @@ class OdeModel:
 
         config = config or SolverConfig()
         p = jnp.asarray(p)
-        fn = {"bdf": solvers.bdf_solve, "dopri5": solvers.dopri5_solve,
-              "rosenbrock": solvers.rosenbrock_solve}[solver]
+        fn = solvers.SOLVERS[solver]
         y0 = self.y0(p)
         return fn(lambda t, y: self.rhs(t, y, p), t_span, y0, t_eval,
                   config=config)
@@ -73,8 +72,7 @@ class OdeModel:
 
         config = config or SolverConfig()
         p = jnp.asarray(p)
-        fn = {"bdf": solvers.bdf_solve, "dopri5": solvers.dopri5_solve,
-              "rosenbrock": solvers.rosenbrock_solve}[solver]
+        fn = solvers.SOLVERS[solver]
         y0 = self.y0(p)
         s0 = jax.jacfwd(self.y0)(p)
         sens_rhs = make_sens_rhs(self.rhs, p)

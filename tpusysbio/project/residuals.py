@@ -76,8 +76,7 @@ class Project:
 
     # ------------------------------------------------------------------
     def _solver_fn(self):
-        return {"bdf": solvers.bdf_solve, "dopri5": solvers.dopri5_solve,
-                "rosenbrock": solvers.rosenbrock_solve}[self.solver]
+        return solvers.SOLVERS[self.solver]
 
     def _sim_one(self, p_e, t0, t_end, t_eval, with_sens: bool):
         model = self.model
