@@ -123,3 +123,37 @@ def test_project_with_scale_factors_jacobian():
         scale = 1e-8 + np.max(np.abs(fd))
         assert np.max(np.abs(np.asarray(ev.jacobian)[:, g] - fd)) / scale \
             < 1e-5, f"theta[{g}]"
+
+
+def test_experiment_axis_sharding():
+    """EP analogue (SURVEY.md §2c): experiments sharded across the fake
+    8-device mesh give bit-identical residuals to the unsharded path."""
+    import dataclasses
+    from jax.sharding import Mesh
+
+    model = library.michaelis_menten()
+    p_true = jnp.asarray(library.MM_TRUE_PARAMS)
+    t = np.linspace(1.0, 10.0, 4)
+    res = model.simulate(p_true, (0.0, 10.0), jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-10, atol=1e-12))
+    data = np.asarray(res.ys)
+    exps = []
+    for e in range(8):
+        meas = tuple(
+            Measurement(obs_index=i, times=t,
+                        values=data[:, i] * (1 + 0.01 * e),
+                        sigmas=np.full(4, 0.05)) for i in range(3))
+        exps.append(Experiment(f"e{e}", meas))
+    batch = ExperimentBatch.from_experiments(exps)
+    pmap = ParameterMap.create(model.param_names, 8,
+                               shared=("k1", "km1", "k2", "E0"))
+    proj = Project(model=model, pmap=pmap, batch=batch,
+                   config=SolverConfig(rtol=1e-6, atol=1e-9, max_steps=256))
+    theta = pmap.pack({"k1": 10.0, "km1": 1.0, "k2": 1.5, "E0": 0.5})
+    r_ref = np.asarray(jax.jit(proj.residuals)(theta))
+
+    mesh = Mesh(np.array(jax.devices()), ("experiments",))
+    proj_sh = dataclasses.replace(proj, experiment_mesh=mesh)
+    r_sh = np.asarray(jax.jit(proj_sh.residuals)(theta))
+    # partitioned execution reorders reductions: agreement to fp roundoff
+    np.testing.assert_allclose(r_sh, r_ref, rtol=1e-6, atol=1e-9)

@@ -65,6 +65,11 @@ class Project:
     batch: ExperimentBatch
     solver: str = "bdf"
     config: SolverConfig = SolverConfig()
+    # Optional 1-D mesh for experiment-axis sharding (the EP analogue,
+    # SURVEY.md §2c): heterogeneous experiments/conditions integrate on
+    # different chips; the scale-factor segment sums become the only
+    # cross-chip collectives, inserted automatically by XLA.
+    experiment_mesh: Optional[object] = None
 
     @property
     def n_residuals(self) -> int:
@@ -122,6 +127,12 @@ class Project:
     def _gathered(self, theta, with_jac: bool):
         b = self.batch
         p_all = self.pmap.expand(theta)  # (E, P)
+        if self.experiment_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = self.experiment_mesh.axis_names[0]
+            sh = NamedSharding(self.experiment_mesh, PartitionSpec(axis))
+            p_all = jax.lax.with_sharding_constraint(p_all, sh)
 
         sim_fn = lambda p_e, t0, t_end, t_eval: self._sim_one(  # noqa: E731
             p_e, t0, t_end, t_eval, with_sens=with_jac)
