@@ -37,7 +37,7 @@ from tpusysbio.solvers import bdf_solve  # noqa: E402
 
 BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "128"))
 REPEATS = int(os.environ.get("TPUSYSBIO_BENCH_REPEATS", "3"))
-SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "inv")
+SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "inv32")
 T_SPAN = (0.0, 100.0)
 N_T = 41
 
