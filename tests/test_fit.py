@@ -150,3 +150,53 @@ def test_checkpoint_resume(tmp_path):
                           FitConfig(max_iter=100), checkpoint_path=ck,
                           chunk_size=2)
     np.testing.assert_allclose(np.asarray(out.cost), np.asarray(out2.cost))
+
+
+def test_trf_bounded_matches_scipy():
+    """Bounded TRF: same optimum as scipy least_squares(method='trf')."""
+    from scipy.optimize import least_squares
+
+    from tpusysbio.optim import trf_fit
+
+    # bounded Rosenbrock: unconstrained optimum (1,1) outside the box
+    lb = jnp.asarray([-2.0, -2.0])
+    ub = jnp.asarray([0.8, 2.0])
+
+    def rj(theta):
+        return _rosenbrock_residuals(theta), jax.jacfwd(
+            _rosenbrock_residuals)(theta)
+
+    theta0 = jnp.asarray([-1.2, 1.0])
+    mine = jax.jit(lambda th: trf_fit(_rosenbrock_residuals, rj, th, lb, ub,
+                                      FitConfig(max_iter=300)))(theta0)
+    ref = least_squares(
+        lambda th: np.asarray(_rosenbrock_residuals(jnp.asarray(th))),
+        np.asarray(theta0),
+        jac=lambda th: np.asarray(
+            jax.jacfwd(_rosenbrock_residuals)(jnp.asarray(th))),
+        bounds=(np.asarray(lb), np.asarray(ub)), method="trf")
+    assert int(mine.status) > 0
+    # both land on the boundary optimum
+    assert abs(float(mine.cost) - 0.5 * np.sum(ref.fun ** 2)) < 1e-8
+    np.testing.assert_allclose(np.asarray(mine.theta), ref.x, atol=1e-4)
+    # bounds respected
+    assert np.all(np.asarray(mine.theta) <= np.asarray(ub) + 1e-12)
+    assert np.all(np.asarray(mine.theta) >= np.asarray(lb) - 1e-12)
+
+
+def test_trf_interior_matches_lm():
+    """With inactive bounds TRF reduces to the unconstrained optimum."""
+    from tpusysbio.optim import trf_fit
+
+    lb = jnp.asarray([-10.0, -10.0])
+    ub = jnp.asarray([10.0, 10.0])
+
+    def rj(theta):
+        return _rosenbrock_residuals(theta), jax.jacfwd(
+            _rosenbrock_residuals)(theta)
+
+    mine = trf_fit(_rosenbrock_residuals, rj, jnp.asarray([-1.2, 1.0]),
+                   lb, ub, FitConfig(max_iter=300))
+    assert int(mine.status) > 0
+    np.testing.assert_allclose(np.asarray(mine.theta), [1.0, 1.0],
+                               atol=1e-5)

@@ -9,3 +9,4 @@ over multi-start ensembles. Termination semantics follow
 """
 
 from tpusysbio.optim.lm import FitResult, lm_fit  # noqa: F401
+from tpusysbio.optim.trf import trf_fit  # noqa: F401

@@ -1,0 +1,174 @@
+"""Bounded least squares: Coleman–Li scaled trust-region (TRF-style).
+
+Spec: ``scipy/optimize/_lsq/trf.py`` (SURVEY.md §3.5) — the Coleman–Li
+scaling vector ``v`` (``scipy/optimize/_lsq/common.py:CL_scaling_vector``)
+turns the bound-constrained problem into an unconstrained one in scaled
+variables, with first-order optimality measured by ``‖v·g‖∞``.
+
+TPU-native deviation, by design: SciPy solves the trust-region subproblem
+by SVD (common.py:57); XLA's f64 SVD is unavailable on this TPU
+(SURVEY.md §7), so the subproblem here is the λ-damped scaled normal
+equations solved with the in-house LU — Levenberg–Marquardt damping plays
+the role of the trust radius (same stationary points, same Coleman–Li
+optimality measure, different path). Steps are truncated to the strict
+interior with the standard (1 − θ) back-off.
+
+Everything is one ``lax.while_loop``, vmappable over multi-start
+ensembles like ``lm_fit``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpusysbio.config import FitConfig
+from tpusysbio.linalg import lu as _lu
+from tpusysbio.optim.lm import FitResult
+
+
+class _TRFState(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    J: jax.Array
+    cost: jax.Array
+    lam: jax.Array
+    nu: jax.Array
+    status: jax.Array
+    done: jax.Array
+    n_iter: jax.Array
+    nfev: jax.Array
+    njev: jax.Array
+    grad_norm: jax.Array
+
+
+def _cl_scaling(x, g, lb, ub):
+    """Coleman-Li v and dv/dx (scipy/optimize/_lsq/common.py)."""
+    v = jnp.ones_like(x)
+    dv = jnp.zeros_like(x)
+    neg = (g < 0) & jnp.isfinite(ub)
+    v = jnp.where(neg, ub - x, v)
+    dv = jnp.where(neg, -1.0, dv)
+    pos = (g > 0) & jnp.isfinite(lb)
+    v = jnp.where(pos, x - lb, v)
+    dv = jnp.where(pos, 1.0, dv)
+    return v, dv
+
+
+def trf_fit(
+    residual_fn: Callable,
+    residual_and_jac_fn: Callable,
+    theta0: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    config: FitConfig = FitConfig(),
+) -> FitResult:
+    """Minimize ``0.5 ||r(θ)||²`` subject to ``lower < θ < upper``.
+
+    ``theta0`` is nudged into the strict interior if needed (scipy
+    ``make_strictly_feasible``).
+    """
+    dtype = theta0.dtype
+    eps = jnp.finfo(dtype).eps
+    lb = jnp.asarray(lower, dtype)
+    ub = jnp.asarray(upper, dtype)
+
+    def interior(x):
+        span = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
+        pad = 1e-10 * jnp.maximum(1.0, jnp.abs(span))
+        x = jnp.where(jnp.isfinite(lb), jnp.maximum(x, lb + pad), x)
+        x = jnp.where(jnp.isfinite(ub), jnp.minimum(x, ub - pad), x)
+        return x
+
+    x0 = interior(theta0)
+    r0, J0 = residual_and_jac_fn(x0)
+    cost0 = 0.5 * jnp.sum(r0 * r0)
+    bad0 = ~(jnp.all(jnp.isfinite(r0)) & jnp.all(jnp.isfinite(J0)))
+
+    def i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    g0 = J0.T @ r0
+    v0, _ = _cl_scaling(x0, g0, lb, ub)
+    state = _TRFState(
+        x=x0, r=r0, J=J0, cost=cost0,
+        lam=jnp.asarray(config.lam0, dtype), nu=jnp.asarray(2.0, dtype),
+        status=jnp.where(bad0, i32(-1), i32(0)), done=bad0,
+        n_iter=i32(0), nfev=i32(0), njev=i32(1),
+        grad_norm=jnp.max(jnp.abs(v0 * g0)))
+
+    def cond(st: _TRFState):
+        return ~st.done & (st.n_iter < config.max_iter)
+
+    def body(st: _TRFState) -> _TRFState:
+        g = st.J.T @ st.r
+        v, dv = _cl_scaling(st.x, g, lb, ub)
+        d = jnp.sqrt(v)
+        # scaled problem: J_h = J diag(d); B = J_hᵀ J_h + diag(g·dv)
+        Jh = st.J * d[None, :]
+        gh = d * g
+        diag_h = jnp.maximum(g * dv, 0.0)
+        B = Jh.T @ Jh + jnp.diag(diag_h)
+        diagB = jnp.clip(jnp.diag(B), 1e-12, None)
+        M = B + st.lam * jnp.diag(diagB)
+        ph = _lu.lu_solve(_lu.lu_factor(M), -gh)
+        p = d * ph
+
+        # project onto the strict interior per coordinate (a global stride
+        # back-off stalls the whole step when one coordinate presses its
+        # bound; per-coordinate projection lets the free coordinates keep
+        # moving — same KKT points under the CL optimality measure)
+        x_t = interior(st.x + p)
+        step = x_t - st.x
+
+        r_t = residual_fn(x_t)
+        cost_t = 0.5 * jnp.sum(r_t * r_t)
+        finite_t = jnp.all(jnp.isfinite(r_t))
+
+        pred = 0.5 * (ph @ (st.lam * diagB * ph - gh))
+        pred = jnp.maximum(pred, eps)
+        rho = (st.cost - cost_t) / pred
+        accept = finite_t & (cost_t < st.cost)
+
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_new = jnp.where(
+            accept, jnp.clip(st.lam * shrink, config.lam_min, config.lam_max),
+            jnp.clip(st.lam * st.nu, config.lam_min, config.lam_max))
+        nu_new = jnp.where(accept, 2.0, st.nu * 2.0)
+
+        r_new, J_new = lax.cond(
+            accept, lambda: residual_and_jac_fn(x_t), lambda: (st.r, st.J))
+        x_new = jnp.where(accept, x_t, st.x)
+        cost_new = jnp.where(accept, cost_t, st.cost)
+        njev = st.njev + jnp.where(accept, 1, 0)
+
+        g_new = J_new.T @ r_new
+        v_new, _ = _cl_scaling(x_new, g_new, lb, ub)
+        g_norm = jnp.max(jnp.abs(v_new * g_new))
+
+        dcost = st.cost - cost_t
+        ftol_hit = accept & (dcost < config.ftol * st.cost)
+        xtol_hit = accept & (
+            jnp.linalg.norm(step)
+            < config.xtol * (config.xtol + jnp.linalg.norm(st.x)))
+        gtol_hit = g_norm < config.gtol
+        stuck = ~accept & (st.lam >= config.lam_max)
+        status = jnp.where(
+            gtol_hit, 1,
+            jnp.where(ftol_hit, 2,
+                      jnp.where(xtol_hit | stuck, 3, 0))).astype(jnp.int32)
+
+        return _TRFState(
+            x=x_new, r=r_new, J=J_new, cost=cost_new,
+            lam=lam_new, nu=nu_new, status=status, done=status > 0,
+            n_iter=st.n_iter + 1, nfev=st.nfev + 1, njev=njev,
+            grad_norm=g_norm)
+
+    final = lax.while_loop(cond, body, state)
+    return FitResult(
+        theta=final.x, cost=final.cost, grad_norm=final.grad_norm,
+        status=final.status, n_iter=final.n_iter, nfev=final.nfev,
+        njev=final.njev)
