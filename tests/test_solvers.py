@@ -145,3 +145,32 @@ def test_radau_sensitivities_vs_bdf():
     s_a, s_b = np.asarray(r1.sens), np.asarray(r2.sens)
     scale = 1e-6 + np.max(np.abs(s_b))
     assert np.max(np.abs(s_a - s_b)) / scale < 1e-5
+
+
+def test_auto_solver_nonstiff_uses_rk():
+    from tpusysbio.solvers import auto_solve
+
+    model = library.lotka_volterra()
+    p = jnp.asarray(library.LV_TRUE_PARAMS)
+    res = auto_solve(lambda t, y: model.rhs(t, y, p), (0.0, 10.0),
+                     model.y0(p), jnp.linspace(0.0, 10.0, 5), config=CFG)
+    assert int(res.status) == STATUS_DONE
+    assert int(res.nlu) == 0  # explicit path: no factorizations
+
+
+@pytest.mark.slow
+def test_auto_solver_stiff_falls_back_to_bdf(golden):
+    from tpusysbio.solvers import auto_solve
+
+    g = golden("mapk22")
+    model = library.mapk_huang_ferrell()
+    p = jnp.asarray(g["p"])
+    cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=2048)
+    res = auto_solve(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                     model.y0(p), jnp.asarray(g["t_eval"]), config=cfg,
+                     nonstiff_budget=256)
+    assert int(res.status) == STATUS_DONE
+    assert int(res.nlu) > 0  # stiff fallback engaged
+    err = np.max(np.abs(np.asarray(res.ys) - g["ys"])) / np.max(
+        np.abs(g["ys"]))
+    assert err < 1e-4

@@ -21,6 +21,7 @@ from tpusysbio.solvers.common import (  # noqa: F401
     STATUS_MAX_STEPS,
     IntegrateResult,
 )
+from tpusysbio.solvers.auto import auto_solve  # noqa: F401
 from tpusysbio.solvers.bdf import bdf_solve  # noqa: F401
 from tpusysbio.solvers.dopri5 import dopri5_solve  # noqa: F401
 from tpusysbio.solvers.radau import radau_solve  # noqa: F401
@@ -28,6 +29,7 @@ from tpusysbio.solvers.rosenbrock import rosenbrock_solve  # noqa: F401
 from tpusysbio.solvers.steady_state import steady_state  # noqa: F401
 
 SOLVERS = {
+    "auto": auto_solve,
     "bdf": bdf_solve,
     "radau": radau_solve,
     "dopri5": dopri5_solve,
