@@ -274,11 +274,12 @@ def bdf_solve(
         scale_state = atol + rtol * jnp.abs(y_predict[:, 0])
 
         # --- factorization (reused while SciPy would reuse it) ---
-        fact = lax.cond(
-            lu_valid,
-            lambda: st.fact,
-            lambda: factor_fn(I_n - c * st.J),
-        )
+        with jax.named_scope("bdf.factor"):
+            fact = lax.cond(
+                lu_valid,
+                lambda: st.fact,
+                lambda: factor_fn(I_n - c * st.J),
+            )
         nlu = st.nlu + jnp.where(lu_valid, 0, 1)
 
         # --- modified Newton, fixed NEWTON_MAXITER trips, masked (bdf.py:36-69)
@@ -310,8 +311,9 @@ def bdf_solve(
         init = (y_predict, jnp.zeros_like(y_predict), jnp.zeros((), dtype),
                 jnp.zeros((), jnp.int32), jnp.asarray(False),
                 jnp.asarray(False))
-        Y_new, d, _, n_iter, converged, _ = lax.fori_loop(
-            0, NEWTON_MAXITER, newton_body, init)
+        with jax.named_scope("bdf.newton"):
+            Y_new, d, _, n_iter, converged, _ = lax.fori_loop(
+                0, NEWTON_MAXITER, newton_body, init)
         nfev = st.nfev + n_iter
 
         # --- outcome classification (bdf.py:362-401) ---
@@ -427,10 +429,12 @@ def bdf_solve(
             return D_new[0][None] + jnp.einsum("tj,jnk->tnk", p,
                                                D_new[1:MAX_ORDER + 1])
 
-        ys_acc = jnp.where(
-            accept,
-            common.interp_accumulate(t_eval, t, t_new, interp, st.ys_acc),
-            st.ys_acc)
+        with jax.named_scope("bdf.dense_output"):
+            ys_acc = jnp.where(
+                accept,
+                common.interp_accumulate(t_eval, t, t_new, interp,
+                                         st.ys_acc),
+                st.ys_acc)
 
         done = accept & (t_new >= t_bound)
         nsteps = st.nsteps + 1
