@@ -69,7 +69,7 @@ def main():
     proj, theta_true = build_problem()
     starts = latin_hypercube(jax.random.PRNGKey(0), BATCH,
                              theta_true - 1.0, theta_true + 1.0)
-    cfg = FitConfig(max_iter=MAX_ITER)
+    cfg = FitConfig(max_iter=MAX_ITER, eval_mode=os.environ.get("TPUSYSBIO_FITS_MODE", "lockstep"))
 
     t0 = time.perf_counter()
     out = multistart_fit(proj.residuals, proj.residuals_and_jacobian,

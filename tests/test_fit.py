@@ -200,3 +200,16 @@ def test_trf_interior_matches_lm():
     assert int(mine.status) > 0
     np.testing.assert_allclose(np.asarray(mine.theta), [1.0, 1.0],
                                atol=1e-5)
+
+
+def test_lm_lockstep_mode_same_optimum():
+    """eval_mode='lockstep' (ensemble-optimized) reaches the same optimum."""
+    theta0 = jnp.asarray([-1.2, 1.0])
+    a = lm_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0,
+               FitConfig(max_iter=200))
+    b = lm_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0,
+               FitConfig(max_iter=200, eval_mode="lockstep"))
+    assert int(a.status) > 0 and int(b.status) > 0
+    np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
+                               atol=1e-8)
+    assert int(b.nfev) == 0  # lockstep never does residual-only passes

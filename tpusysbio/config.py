@@ -70,6 +70,19 @@ class FitConfig:
     lam0: float = 1e-3
     lam_min: float = 1e-12
     lam_max: float = 1e12
+    # Trial-point evaluation strategy:
+    # 'economical': residual-only trial integration; Jacobian recomputed
+    #   only on acceptance (fewest evaluations — best for single fits).
+    # 'lockstep': evaluate residual+Jacobian together at every trial. Under
+    #   vmap, lax.cond runs both branches anyway, so the economical mode
+    #   pays trial + sens integrations per iteration; lockstep pays only
+    #   the sens one — ~2x faster for ensembles whose integration time is
+    #   step-bound rather than column-bound.
+    eval_mode: str = "economical"
+
+    def __post_init__(self):
+        if self.eval_mode not in ("economical", "lockstep"):
+            raise ValueError(f"unknown eval_mode {self.eval_mode!r}")
 
 
 @dataclasses.dataclass(frozen=True)

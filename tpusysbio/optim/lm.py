@@ -123,9 +123,16 @@ def lm_fit(
 
         theta_t = clip_theta(st.theta + delta)
         step = theta_t - st.theta
-        r_t = residual_fn(theta_t)
+        if config.eval_mode == "lockstep":
+            # one sensitivity integration yields residual AND Jacobian
+            r_t, J_t = residual_and_jac_fn(theta_t)
+            finite_t = jnp.all(jnp.isfinite(r_t)) & jnp.all(
+                jnp.isfinite(J_t))
+        else:
+            r_t = residual_fn(theta_t)
+            J_t = None
+            finite_t = jnp.all(jnp.isfinite(r_t))
         cost_t = 0.5 * jnp.sum(r_t * r_t)
-        finite_t = jnp.all(jnp.isfinite(r_t))
 
         # gain ratio: actual vs model reduction
         pred = 0.5 * (step @ (st.lam * diag * step - g))
@@ -142,18 +149,26 @@ def lm_fit(
             jnp.clip(st.lam * st.nu, config.lam_min, config.lam_max))
         nu_new = jnp.where(accept, 2.0, st.nu * 2.0)
 
-        # fresh Jacobian only on acceptance
-        def fresh():
-            r_n, J_n = residual_and_jac_fn(theta_t)
-            return r_n, J_n
+        if config.eval_mode == "lockstep":
+            r_new = jnp.where(accept, r_t, st.r)
+            J_new = jnp.where(accept, J_t, st.J)
+        else:
+            # fresh Jacobian only on acceptance
+            def fresh():
+                return residual_and_jac_fn(theta_t)
 
-        def keep():
-            return st.r, st.J
+            def keep():
+                return st.r, st.J
 
-        r_new, J_new = lax.cond(accept, fresh, keep)
+            r_new, J_new = lax.cond(accept, fresh, keep)
         theta_new = jnp.where(accept, theta_t, st.theta)
         cost_new = jnp.where(accept, cost_t, st.cost)
-        njev = st.njev + jnp.where(accept, 1, 0)
+        if config.eval_mode == "lockstep":
+            njev = st.njev + 1
+            nfev_inc = 0
+        else:
+            njev = st.njev + jnp.where(accept, 1, 0)
+            nfev_inc = 1
 
         g_new = J_new.T @ r_new
         g_norm = jnp.max(jnp.abs(g_new))
@@ -177,7 +192,7 @@ def lm_fit(
         return _LMState(
             theta=theta_new, r=r_new, J=J_new, cost=cost_new,
             lam=lam_new, nu=nu_new, status=status, done=done,
-            n_iter=st.n_iter + 1, nfev=st.nfev + 1, njev=njev,
+            n_iter=st.n_iter + 1, nfev=st.nfev + nfev_inc, njev=njev,
             grad_norm=g_norm)
 
     final = lax.while_loop(cond, body, state)
