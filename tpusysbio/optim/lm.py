@@ -45,6 +45,9 @@ class FitResult(NamedTuple):
     n_iter: jax.Array
     nfev: jax.Array            # residual-only integrations
     njev: jax.Array            # residual+jacobian (sensitivity) integrations
+    # accepted-cost trace per iteration (observability, SURVEY.md §5);
+    # entries beyond n_iter hold the final cost
+    cost_trace: jax.Array = None
 
     @property
     def success(self):
@@ -64,6 +67,45 @@ class _LMState(NamedTuple):
     nfev: jax.Array
     njev: jax.Array
     grad_norm: jax.Array
+    cost_trace: jax.Array      # (max_iter,) accepted-cost history
+
+
+def lm_init(
+    residual_and_jac_fn: Callable,
+    theta0: jax.Array,
+    config: FitConfig = FitConfig(),
+) -> _LMState:
+    """Evaluate the initial point into a resumable LM state pytree.
+
+    The state is a plain pytree: it can be checkpointed mid-fit and
+    resumed (SURVEY.md §5 checkpoint: "in-flight LM state pytree"), or
+    advanced in bounded chunks via ``lm_run`` to split long fits across
+    device calls.
+    """
+    dtype = theta0.dtype
+    r0, J0 = residual_and_jac_fn(theta0)
+    cost0 = 0.5 * jnp.sum(r0 * r0)
+    bad0 = ~(jnp.all(jnp.isfinite(r0)) & jnp.all(jnp.isfinite(J0)))
+
+    def i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    g0 = J0.T @ r0
+    return _LMState(
+        theta=theta0, r=r0, J=J0, cost=cost0,
+        lam=jnp.asarray(config.lam0, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        status=jnp.where(bad0, i32(-1), i32(0)),
+        done=bad0, n_iter=i32(0), nfev=i32(0), njev=i32(1),
+        grad_norm=jnp.max(jnp.abs(g0)),
+        cost_trace=jnp.full((config.max_iter,), cost0, dtype))
+
+
+def lm_finish(state: _LMState) -> FitResult:
+    return FitResult(
+        theta=state.theta, cost=state.cost, grad_norm=state.grad_norm,
+        status=state.status, n_iter=state.n_iter, nfev=state.nfev,
+        njev=state.njev, cost_trace=state.cost_trace)
 
 
 def lm_fit(
@@ -83,8 +125,25 @@ def lm_fit(
         solver loop (SURVEY.md §7 M5).
       lower/upper: optional box bounds in θ (log) space; steps are clipped.
     """
+    state = lm_init(residual_and_jac_fn, theta0, config)
+    state = lm_run(residual_fn, residual_and_jac_fn, state, config,
+                   iter_cap=config.max_iter, lower=lower, upper=upper)
+    return lm_finish(state)
+
+
+def lm_run(
+    residual_fn: Callable,
+    residual_and_jac_fn: Callable,
+    state: _LMState,
+    config: FitConfig = FitConfig(),
+    iter_cap: Optional[int] = None,
+    lower: Optional[jax.Array] = None,
+    upper: Optional[jax.Array] = None,
+) -> _LMState:
+    """Advance LM until done or ``state.n_iter`` reaches ``iter_cap``."""
+    theta0 = state.theta
     dtype = theta0.dtype
-    G = theta0.shape[0]
+    cap = config.max_iter if iter_cap is None else iter_cap
 
     def clip_theta(th):
         if lower is not None:
@@ -93,26 +152,10 @@ def lm_fit(
             th = jnp.minimum(th, upper)
         return th
 
-    r0, J0 = residual_and_jac_fn(theta0)
-    cost0 = 0.5 * jnp.sum(r0 * r0)
-    bad0 = ~(jnp.all(jnp.isfinite(r0)) & jnp.all(jnp.isfinite(J0)))
-
-    def i32(v):
-        return jnp.asarray(v, jnp.int32)
-
-    g0 = J0.T @ r0
-    state = _LMState(
-        theta=theta0, r=r0, J=J0, cost=cost0,
-        lam=jnp.asarray(config.lam0, dtype),
-        nu=jnp.asarray(2.0, dtype),
-        status=jnp.where(bad0, i32(-1), i32(0)),
-        done=bad0, n_iter=i32(0), nfev=i32(0), njev=i32(1),
-        grad_norm=jnp.max(jnp.abs(g0)))
-
     eps = jnp.finfo(dtype).eps
 
     def cond(st: _LMState):
-        return ~st.done & (st.n_iter < config.max_iter)
+        return ~st.done & (st.n_iter < cap)
 
     def body(st: _LMState) -> _LMState:
         A = st.J.T @ st.J
@@ -189,14 +232,14 @@ def lm_fit(
                       jnp.where(xtol_hit | stuck, 3, 0))).astype(jnp.int32)
         done = status > 0
 
+        trace = st.cost_trace.at[st.n_iter].set(cost_new)
         return _LMState(
             theta=theta_new, r=r_new, J=J_new, cost=cost_new,
             lam=lam_new, nu=nu_new, status=status, done=done,
             n_iter=st.n_iter + 1, nfev=st.nfev + nfev_inc, njev=njev,
-            grad_norm=g_norm)
+            grad_norm=g_norm, cost_trace=trace)
 
-    final = lax.while_loop(cond, body, state)
-    return FitResult(
-        theta=final.theta, cost=final.cost, grad_norm=final.grad_norm,
-        status=final.status, n_iter=final.n_iter, nfev=final.nfev,
-        njev=final.njev)
+    return lax.while_loop(cond, body, state)
+
+
+LMState = _LMState
