@@ -1,7 +1,7 @@
 """North-star metric 2 (BASELINE.json:2): multi-start fits/min at ~20 states.
 
 A full production workload: N complete LM fits of the stiff MAPK-22
-cascade (6 free MAPK-layer rate constants, rest fixed at truth) from a
+cascade (12 free MAPK-layer rate constants, rest fixed at truth) from a
 Latin-hypercube start cloud, vmapped in lockstep on one chip. Prints one
 JSON line; multiply by chips for pod-slice throughput (the starts axis
 shards with zero communication — SURVEY.md §3.4).
@@ -71,15 +71,18 @@ def main():
                              theta_true - 1.0, theta_true + 1.0)
     cfg = FitConfig(max_iter=MAX_ITER, eval_mode=os.environ.get("TPUSYSBIO_FITS_MODE", "lockstep"))
 
+    # iter_chunk keeps each device call under the runtime's execution
+    # ceiling (docs/PERFORMANCE.md); chunks share one compilation
+    chunk = int(os.environ.get("TPUSYSBIO_FITS_ITER_CHUNK", "4"))
     t0 = time.perf_counter()
     out = multistart_fit(proj.residuals, proj.residuals_and_jacobian,
-                         starts, cfg)
+                         starts, cfg, iter_chunk=chunk)
     jax.block_until_ready(out.cost)
     compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     out = multistart_fit(proj.residuals, proj.residuals_and_jacobian,
-                         starts, cfg)
+                         starts, cfg, iter_chunk=chunk)
     jax.block_until_ready(out.cost)
     run_s = time.perf_counter() - t0
 
@@ -87,7 +90,7 @@ def main():
     best = out.ranked()
     fits_per_min = BATCH / run_s * 60.0
     print(json.dumps({
-        "metric": "multi-start LM fits/min/chip (MAPK-22, 6 free params, "
+        "metric": "multi-start LM fits/min/chip (MAPK-22, 12 free params, "
                   "BDF+fwd-sens, rtol=1e-6)",
         "value": round(fits_per_min, 2),
         "unit": "fits/min/chip",

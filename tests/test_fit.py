@@ -213,3 +213,30 @@ def test_lm_lockstep_mode_same_optimum():
     np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
                                atol=1e-8)
     assert int(b.nfev) == 0  # lockstep never does residual-only passes
+
+
+def test_multistart_iter_chunked_matches_unchunked():
+    """iter_chunk advances fits in bounded device calls; same results."""
+    theta0s = jnp.asarray([[-1.2, 1.0], [0.5, 0.5], [2.0, -1.0]])
+    a = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=60))
+    b = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=60), iter_chunk=7)
+    np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(a.n_iter),
+                                  np.asarray(b.n_iter))
+
+
+@pytest.mark.slow
+def test_multistart_iter_chunked_sharded():
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("starts",))
+    theta0s = jnp.tile(jnp.asarray([-1.2, 1.0]), (8, 1)) \
+        + 0.01 * jnp.arange(8)[:, None]
+    a = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=60), mesh=mesh, iter_chunk=9)
+    b = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=60))
+    np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost),
+                               rtol=1e-10)

@@ -9,7 +9,7 @@ proj, theta_true = build_problem()
 print("problem built", flush=True)
 rng = np.random.default_rng(0)
 for batch, iters in [(4, 12), (16, 6), (16, 12)]:
-    starts = theta_true[None,:] + jnp.asarray(rng.normal(scale=0.5, size=(batch, 6)))
+    starts = theta_true[None,:] + jnp.asarray(rng.normal(scale=0.5, size=(batch, theta_true.shape[0])))
     cfg = FitConfig(max_iter=iters, eval_mode="lockstep")
     f = jax.jit(jax.vmap(lambda th: lm_fit(proj.residuals, proj.residuals_and_jacobian, th, cfg)))
     t0=time.time()

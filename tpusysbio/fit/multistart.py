@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpusysbio.config import FitConfig
 from tpusysbio.optim import lm_fit
+from tpusysbio.optim.lm import lm_finish, lm_init, lm_run
 
 
 class MultistartResult(NamedTuple):
@@ -58,6 +59,45 @@ def _fit_batch_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
     return jax.vmap(fit_one)
 
 
+def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
+                    config: FitConfig, iter_chunk: int,
+                    mesh: Optional[Mesh]):
+    """Advance the whole batch ``iter_chunk`` LM iterations per device
+    call (bounded single-execution time). The iteration cap is a traced
+    scalar, so all chunks share one compilation."""
+
+    def wrap(fn, sharded_mask):
+        if mesh is None:
+            return jax.jit(fn)
+        axis = mesh.axis_names[0]
+        in_specs = tuple(P(axis) if s else P() for s in sharded_mask)
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis),
+            check_vma=False))
+
+    init = wrap(jax.vmap(
+        lambda th: lm_init(residual_and_jac_fn, th, config)), (True,))
+    step = wrap(jax.vmap(
+        lambda st, cap: lm_run(residual_fn, residual_and_jac_fn, st,
+                               config, iter_cap=cap),
+        in_axes=(0, None)), (True, False))
+
+    def run(theta0s):
+        state = init(theta0s)
+        cap = iter_chunk
+        while True:
+            state = step(state, jnp.asarray(min(cap, config.max_iter),
+                                            jnp.int32))
+            done = np.asarray(state.done) | (
+                np.asarray(state.n_iter) >= config.max_iter)
+            if done.all() or cap >= config.max_iter:
+                break
+            cap += iter_chunk
+        return jax.vmap(lm_finish)(state)
+
+    return run
+
+
 def multistart_fit(
     residual_fn: Callable,
     residual_and_jac_fn: Callable,
@@ -66,6 +106,7 @@ def multistart_fit(
     mesh: Optional[Mesh] = None,
     checkpoint_path: Optional[str] = None,
     chunk_size: Optional[int] = None,
+    iter_chunk: Optional[int] = None,
 ) -> MultistartResult:
     """Fit every row of ``theta0s`` (N, G); returns per-start results.
 
@@ -73,10 +114,20 @@ def multistart_fit(
     devices via ``shard_map`` — N must be divisible by the axis size. With
     ``checkpoint_path``/``chunk_size``, the batch runs in chunks and each
     completed chunk is persisted; re-running resumes after the last one.
+    With ``iter_chunk``, each device call advances the (resumable) LM
+    state by at most that many iterations — required on runtimes that kill
+    long single executions (docs/PERFORMANCE.md "TPU runtime hazards"),
+    and the hook for mid-fit checkpointing.
     """
-    fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config)
+    if iter_chunk:
+        fit_batch = _chunked_fit_fn(residual_fn, residual_and_jac_fn,
+                                    config, iter_chunk, mesh)
+    else:
+        fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config)
 
-    if mesh is not None:
+    if iter_chunk:
+        run = fit_batch  # host-level chunk loop, jits inside
+    elif mesh is not None:
         axis = mesh.axis_names[0]
         # check_vma=False: the fit is collective-free per member, but its
         # loop carries start from replicated constants, which trips the
