@@ -1,0 +1,30 @@
+"""CLI smoke tests (L6): subcommands drive the real stack end-to-end."""
+
+import json
+import os
+
+import numpy as np
+
+from tpusysbio import cli
+
+
+def test_simulate_writes_npz(tmp_path, capsys):
+    out = str(tmp_path / "traj.npz")
+    cli.main(["simulate", "--model", "mm3", "--t-end", "5", "--n-times",
+              "6", "--solver", "dopri5", "--out", out])
+    captured = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(captured[-1])
+    assert rec["status"] == 1
+    data = np.load(out)
+    assert data["ys"].shape == (6, 3)
+    assert np.all(np.isfinite(data["ys"]))
+
+
+def test_sens_reports_counters(capsys):
+    cli.main(["sens", "--model", "lotka", "--t-end", "3", "--n-times", "4",
+              "--solver", "bdf"])
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[0])
+    assert rec["status"] == 1
+    assert rec["nlu"] > 0
+    assert "sens shape (4, 2, 6)" in out

@@ -240,3 +240,27 @@ def test_multistart_iter_chunked_sharded():
                        FitConfig(max_iter=60))
     np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost),
                                rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_two_phase_multistart():
+    """Mixed/loose screening + f64/tight polish reaches the tight optimum."""
+    import dataclasses
+
+    from tpusysbio.fit.multistart import multistart_two_phase
+
+    proj_tight, theta_true = _mm_problem()
+    proj_screen = dataclasses.replace(
+        proj_tight, config=SolverConfig(rtol=1e-3, atol=1e-6, max_steps=256,
+                                        mixed_precision=True))
+    starts = latin_hypercube(jax.random.PRNGKey(2), 8, theta_true - 1.0,
+                             theta_true + 1.0)
+    polish, screen = multistart_two_phase(
+        (proj_screen.residuals, proj_screen.residuals_and_jacobian),
+        (proj_tight.residuals, proj_tight.residuals_and_jacobian),
+        starts,
+        FitConfig(max_iter=15, eval_mode="lockstep", ftol=1e-4, xtol=1e-4),
+        FitConfig(max_iter=30), top_k=2)
+    best = polish.best()
+    assert int(best.status) > 0
+    assert float(best.cost) < 1.2 * float(proj_tight.cost(theta_true))

@@ -40,6 +40,17 @@ class SolverConfig:
     max_step: float = float("inf")
     # Include sensitivity columns in the local error norm (CVODES errconS).
     sens_error_control: bool = False
+    # Mixed-precision hot loop (docs/PERFORMANCE.md roadmap #1): evaluate
+    # the RHS/JVP columns, the Jacobian, and the Newton linear solves in
+    # f32 while keeping state accumulation, step control, and error norms
+    # in f64. VALIDITY: mass-action RHS have large cancelling fluxes, so
+    # f32 evaluation noise is ~1e-7x the flux magnitude — adequate down to
+    # rtol~1e-4 (verified: identical step counts and errors vs f64 on
+    # stiff MAPK-22 at rtol 1e-3/1e-4) but NOT for rtol=1e-6 reference
+    # accuracy. Intended use: the screening phase of two-phase multi-start
+    # (fit.multistart_two_phase) — screen wide in mixed/loose, polish the
+    # top fraction in f64/tight.
+    mixed_precision: bool = False
     # 'lu'    : pivoted LU factor + triangular solves (pure JAX, f64-safe on TPU)
     # 'inv'   : explicit inverse via LU, each Newton solve becomes one matmul
     #           (best lockstep-vmap throughput on the MXU)

@@ -178,3 +178,35 @@ def multistart_fit(
         grad_norm=jnp.asarray(acc["grad_norm"]),
         status=jnp.asarray(acc["status"]),
         n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s)
+
+
+def multistart_two_phase(
+    screen_fns,
+    polish_fns,
+    theta0s: jax.Array,
+    screen_config: FitConfig,
+    polish_config: FitConfig,
+    top_k: int,
+    mesh: Optional[Mesh] = None,
+    iter_chunk: Optional[int] = None,
+):
+    """Two-phase multi-start: wide cheap screening, then accurate polish.
+
+    Phase 1 fits every start with ``screen_fns`` (typically a Project at
+    loose tolerance with ``mixed_precision=True`` — f32 hot loop); phase 2
+    re-fits the ``top_k`` ranked survivors with ``polish_fns`` (tight
+    f64). This is the production shape of the 10k-member headline
+    workload (BASELINE.json:5): the screening phase costs a fraction of a
+    full-accuracy fit per member, and only the basin winners pay for
+    reference accuracy.
+
+    Returns ``(polish_result, screen_result)`` (both ``MultistartResult``).
+    """
+    screen = multistart_fit(screen_fns[0], screen_fns[1], theta0s,
+                            screen_config, mesh=mesh, iter_chunk=iter_chunk)
+    ranked = screen.ranked()
+    top = ranked.theta[:top_k]
+    polish = multistart_fit(polish_fns[0], polish_fns[1], top,
+                            polish_config, mesh=None,
+                            iter_chunk=iter_chunk)
+    return polish, screen

@@ -60,8 +60,8 @@ class OdeModel:
         p = jnp.asarray(p)
         fn = solvers.SOLVERS[solver]
         y0 = self.y0(p)
-        return fn(lambda t, y: self.rhs(t, y, p), t_span, y0, t_eval,
-                  config=config)
+        return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
+                  y0, t_eval, config=config)
 
     def simulate_sensitivities(self, p, t_span, t_eval, solver: str = "bdf",
                                config: Optional[SolverConfig] = None):
@@ -76,8 +76,8 @@ class OdeModel:
         y0 = self.y0(p)
         s0 = jax.jacfwd(self.y0)(p)
         sens_rhs = make_sens_rhs(self.rhs, p)
-        return fn(lambda t, y: self.rhs(t, y, p), t_span, y0, t_eval,
-                  config=config, sens_rhs=sens_rhs, s0=s0)
+        return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
+                  y0, t_eval, config=config, sens_rhs=sens_rhs, s0=s0)
 
     def jacobian(self, t, y, p):
         """State Jacobian ∂f/∂y via forward-mode AD."""

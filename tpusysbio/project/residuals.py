@@ -89,7 +89,8 @@ class Project:
         y0 = model.y0(p_e)
 
         def f(t, y):
-            return model.rhs(t, y, p_e)
+            # dtype-following: enables the stepper's mixed-precision mode
+            return model.rhs(t, y, p_e.astype(y.dtype))
 
         if with_sens:
             sens_rhs = make_sens_rhs(model.rhs, p_e)

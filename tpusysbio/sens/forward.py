@@ -29,11 +29,15 @@ def make_sens_rhs(rhs: Callable, p: jax.Array) -> Callable:
     m = p.shape[0]
 
     def sens_rhs(t, y, S):
-        E = jnp.eye(m, dtype=p.dtype)
+        # dtype-following contract: compute in the precision of y, so the
+        # stepper can run its Newton iterations in f32 (mixed precision,
+        # docs/PERFORMANCE.md roadmap #1) by feeding f32 states.
+        pc = p.astype(y.dtype)
+        E = jnp.eye(m, dtype=y.dtype)
 
         def col(s_col, e_col):
             return jax.jvp(lambda yy, pp: rhs(t, yy, pp),
-                           (y, p), (s_col, e_col))[1]
+                           (y, pc), (s_col, e_col))[1]
 
         return jax.vmap(col, in_axes=(1, 0), out_axes=1)(S, E)
 

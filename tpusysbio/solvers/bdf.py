@@ -182,6 +182,28 @@ def bdf_solve(
         return jax.jacfwd(lambda yy: f(t, yy))(y)
 
     factor_fn, solve_fn = make_linear_solver(config.linear_solver)
+
+    # Mixed-precision hot loop (config.mixed_precision): the RHS/JVP
+    # evaluations, the Jacobian, and the Newton solves run in f32 (the
+    # closures are dtype-following); accumulation (Y, d, D), step control,
+    # and error norms stay in f64. See config.py for the error analysis.
+    mp = config.mixed_precision and dtype == jnp.float64
+    cdt = jnp.float32 if mp else dtype
+    if mp:
+        def faug_c(t, Y):
+            return faug(t.astype(cdt), Y.astype(cdt))
+
+        def jac_c(t, y):
+            return jax.jacfwd(
+                lambda yy: f(t.astype(cdt), yy))(y.astype(cdt))
+
+        def factor_c(a):
+            return factor_fn(a.astype(cdt))
+
+        def solve_c(fact, b):
+            return solve_fn(fact, b.astype(cdt)).astype(dtype)
+    else:
+        faug_c, jac_c, factor_c, solve_c = faug, jac, factor_fn, solve_fn
     _, gamma, alpha, error_const = _ndf_constants(dtype)
     eps = jnp.finfo(dtype).eps
     newton_tol = max(10 * float(eps) / config.rtol,
@@ -210,8 +232,8 @@ def bdf_solve(
     D0 = D0.at[0].set(Y0)
     D0 = D0.at[1].set(F0 * h0)
 
-    J0 = jac(t0, y0)
-    fact0 = factor_fn(I_n)  # placeholder with the right pytree structure
+    J0 = jac_c(t0, y0)
+    fact0 = factor_c(I_n)  # placeholder with the right pytree structure
 
     # prefill outputs at t_eval points exactly at t0
     ys0 = jnp.where((t_eval == t0)[:, None, None],
@@ -278,7 +300,7 @@ def bdf_solve(
             fact = lax.cond(
                 lu_valid,
                 lambda: st.fact,
-                lambda: factor_fn(I_n - c * st.J),
+                lambda: factor_c(I_n - c * st.J.astype(dtype)),
             )
         nlu = st.nlu + jnp.where(lu_valid, 0, 1)
 
@@ -286,9 +308,9 @@ def bdf_solve(
         def newton_body(it, carry):
             Y, d, dy_norm_old, n_iter, converged, failed = carry
             active = ~(converged | failed)
-            Fv = faug(t_new, Y)
+            Fv = faug_c(t_new, Y).astype(dtype)
             nonfinite = ~jnp.all(jnp.isfinite(Fv))
-            dy = solve_fn(fact, c * Fv - psi - d)
+            dy = solve_c(fact, c * Fv - psi - d)
             dy_norm = rms_norm(dy[:, 0] / scale_state)
             rate = dy_norm / jnp.where(dy_norm_old > 0, dy_norm_old, 1.0)
             have_rate = it > 0
@@ -321,7 +343,7 @@ def bdf_solve(
         case_B = ~converged & ~st.current_jac
         # C: Newton failed with fresh J -> halve the step.
         case_C = ~converged & st.current_jac
-        J = lax.cond(case_B, lambda: jac(t_new, y_predict[:, 0]),
+        J = lax.cond(case_B, lambda: jac_c(t_new, y_predict[:, 0]),
                      lambda: st.J)
         njev = st.njev + jnp.where(case_B, 1, 0)
 
