@@ -38,6 +38,7 @@ from tpusysbio.solvers import bdf_solve  # noqa: E402
 BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "128"))
 REPEATS = int(os.environ.get("TPUSYSBIO_BENCH_REPEATS", "3"))
 SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "inv32")
+SENS_PREC = os.environ.get("TPUSYSBIO_BENCH_SENS_PREC", "f32")
 T_SPAN = (0.0, 100.0)
 N_T = 41
 
@@ -62,12 +63,13 @@ def main():
     p_true = jnp.asarray(library.mapk_true_params())
     t_eval = jnp.linspace(*T_SPAN, N_T)
     cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024,
-                       linear_solver=SOLVER)
+                       linear_solver=SOLVER, sens_precision=SENS_PREC)
 
     def integrate(p):
         sens_rhs = make_sens_rhs(model.rhs, p)
         s0 = jnp.zeros((model.n_states, model.n_params), p.dtype)
-        res = bdf_solve(lambda t, y: model.rhs(t, y, p), T_SPAN,
+        res = bdf_solve(lambda t, y: model.rhs(t, y, p.astype(y.dtype)),
+                        T_SPAN,
                         model.y0(p), t_eval, config=cfg,
                         sens_rhs=sens_rhs, s0=s0)
         return res.ys, res.sens, res.status, res.nsteps

@@ -56,7 +56,7 @@ def build_problem():
                                fixed=fixed)
     proj = Project(model=model, pmap=pmap, batch=batch,
                    config=SolverConfig(rtol=1e-6, atol=1e-9, max_steps=768,
-                                       linear_solver="inv32"))
+                                       linear_solver="inv32", sens_precision="f32"))
     theta_true = pmap.pack(
         {n: p_true[model.param_names.index(n)] for n in free})
     return proj, theta_true

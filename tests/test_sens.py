@@ -78,3 +78,24 @@ def test_sens_dopri5_matches_bdf():
     s1, s2 = np.asarray(r1.sens), np.asarray(r2.sens)
     scale = 1e-6 + np.max(np.abs(s1))
     assert np.max(np.abs(s1 - s2)) / scale < 1e-5
+
+
+def test_split_precision_sensitivities():
+    """sens_precision='f32': state bit-identical to full mode, sensitivity
+    columns accurate to LM-Jacobian tolerance (docs/PERFORMANCE.md)."""
+    from tpusysbio.model import library as lib
+
+    model = lib.michaelis_menten()
+    p = jnp.asarray(lib.MM_TRUE_PARAMS)
+    t_eval = jnp.linspace(0.0, 10.0, 6)
+    kw = dict(rtol=1e-6, atol=1e-9)
+    a = _solve_with_sens(model, p, (0.0, 10.0), t_eval,
+                         config=SolverConfig(**kw))
+    b = _solve_with_sens(model, p, (0.0, 10.0), t_eval,
+                         config=SolverConfig(**kw, sens_precision="f32"))
+    assert int(a.status) == int(b.status) == STATUS_DONE
+    assert int(a.nsteps) == int(b.nsteps)
+    np.testing.assert_allclose(np.asarray(a.ys), np.asarray(b.ys),
+                               rtol=1e-12, atol=1e-13)
+    s_a, s_b = np.asarray(a.sens), np.asarray(b.sens)
+    assert np.max(np.abs(s_a - s_b)) / (1e-9 + np.max(np.abs(s_a))) < 1e-4

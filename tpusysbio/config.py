@@ -51,6 +51,14 @@ class SolverConfig:
     # (fit.multistart_two_phase) — screen wide in mixed/loose, polish the
     # top fraction in f64/tight.
     mixed_precision: bool = False
+    # Precision of the SENSITIVITY columns only ('full' or 'f32'): the
+    # state trajectory keeps full f64 error control, while the 30+ jvp
+    # columns — the bulk of the per-step work — evaluate and solve in f32.
+    # LM only needs ~1e-3-relative Jacobians (quasi-Newton tolerance), so
+    # this preserves rtol=1e-6 trajectories AND fit optima while moving
+    # ~90% of the FLOPs to fast f32. Gate: sensitivity tests at 'full';
+    # fit-optimum tests at 'f32'.
+    sens_precision: str = "full"
     # 'lu'    : pivoted LU factor + triangular solves (pure JAX, f64-safe on TPU)
     # 'inv'   : explicit inverse via LU, each Newton solve becomes one matmul
     #           (best lockstep-vmap throughput on the MXU)
@@ -62,6 +70,9 @@ class SolverConfig:
     def __post_init__(self):
         if self.linear_solver not in ("lu", "inv", "inv32", "pallas"):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
+        if self.sens_precision not in ("full", "f32"):
+            raise ValueError(
+                f"unknown sens_precision {self.sens_precision!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -204,6 +204,21 @@ def bdf_solve(
             return solve_fn(fact, b.astype(cdt)).astype(dtype)
     else:
         faug_c, jac_c, factor_c, solve_c = faug, jac, factor_fn, solve_fn
+
+    # Split-precision sensitivities (config.sens_precision == 'f32'): the
+    # state column keeps full-precision dynamics and error control; the m
+    # sensitivity columns (the bulk of the work) evaluate their jvp RHS
+    # and solve against the shared factorization in f32. The state
+    # trajectory is bit-identical to 'full' mode (state dynamics never
+    # read the sensitivity columns).
+    split_sens = (config.sens_precision == "f32" and m > 0 and not mp
+                  and dtype == jnp.float64)
+    f32 = jnp.float32
+
+    def _fact32(fact):
+        return jax.tree.map(
+            lambda a: a.astype(f32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, fact)
     _, gamma, alpha, error_const = _ndf_constants(dtype)
     eps = jnp.finfo(dtype).eps
     newton_tol = max(10 * float(eps) / config.rtol,
@@ -308,9 +323,23 @@ def bdf_solve(
         def newton_body(it, carry):
             Y, d, dy_norm_old, n_iter, converged, failed = carry
             active = ~(converged | failed)
-            Fv = faug_c(t_new, Y).astype(dtype)
-            nonfinite = ~jnp.all(jnp.isfinite(Fv))
-            dy = solve_c(fact, c * Fv - psi - d)
+            if split_sens:
+                y_st = Y[:, 0]
+                fy = f(t_new, y_st)
+                fs = sens_rhs(t_new.astype(f32), y_st.astype(f32),
+                              Y[:, 1:].astype(f32))
+                Fv = jnp.concatenate([fy[:, None], fs.astype(dtype)],
+                                     axis=1)
+                nonfinite = ~jnp.all(jnp.isfinite(Fv))
+                resid = c * Fv - psi - d
+                dy_state = solve_c(fact, resid[:, :1])
+                dy_sens = solve_fn(_fact32(fact),
+                                   resid[:, 1:].astype(f32)).astype(dtype)
+                dy = jnp.concatenate([dy_state, dy_sens], axis=1)
+            else:
+                Fv = faug_c(t_new, Y).astype(dtype)
+                nonfinite = ~jnp.all(jnp.isfinite(Fv))
+                dy = solve_c(fact, c * Fv - psi - d)
             dy_norm = rms_norm(dy[:, 0] / scale_state)
             rate = dy_norm / jnp.where(dy_norm_old > 0, dy_norm_old, 1.0)
             have_rate = it > 0
