@@ -33,12 +33,13 @@ import numpy as np  # noqa: E402
 from tpusysbio.config import SolverConfig  # noqa: E402
 from tpusysbio.model import library  # noqa: E402
 from tpusysbio.sens import make_sens_rhs  # noqa: E402
-from tpusysbio.solvers import bdf_solve  # noqa: E402
+from tpusysbio import solvers  # noqa: E402
 
 BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "128"))
 REPEATS = int(os.environ.get("TPUSYSBIO_BENCH_REPEATS", "3"))
 SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "inv32")
 SENS_PREC = os.environ.get("TPUSYSBIO_BENCH_SENS_PREC", "f32")
+STEPPER = os.environ.get("TPUSYSBIO_BENCH_STEPPER", "bdf")
 T_SPAN = (0.0, 100.0)
 N_T = 41
 
@@ -68,10 +69,11 @@ def main():
     def integrate(p):
         sens_rhs = make_sens_rhs(model.rhs, p)
         s0 = jnp.zeros((model.n_states, model.n_params), p.dtype)
-        res = bdf_solve(lambda t, y: model.rhs(t, y, p.astype(y.dtype)),
-                        T_SPAN,
-                        model.y0(p), t_eval, config=cfg,
-                        sens_rhs=sens_rhs, s0=s0)
+        solve = solvers.SOLVERS[STEPPER]
+        res = solve(lambda t, y: model.rhs(t, y, p.astype(y.dtype)),
+                    T_SPAN,
+                    model.y0(p), t_eval, config=cfg,
+                    sens_rhs=sens_rhs, s0=s0)
         return res.ys, res.sens, res.status, res.nsteps
 
     run = jax.jit(jax.vmap(integrate))
@@ -107,7 +109,7 @@ def main():
 
     print(json.dumps({
         "metric": "stiff ODE+sensitivity integrations/sec/chip (MAPK-22, "
-                  "30-param fwd sens, BDF rtol=1e-6)",
+                  f"30-param fwd sens, {STEPPER} rtol=1e-6)",
         "value": round(rate, 3),
         "unit": "integrations/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,

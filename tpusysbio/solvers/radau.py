@@ -154,6 +154,28 @@ def radau_solve(
     mu_re = jnp.asarray(_MU_C_RE, dtype)
     mu_im = jnp.asarray(_MU_C_IM, dtype)
 
+    # Split-precision sensitivities (see solvers/bdf.py): sensitivity
+    # columns evaluate and solve in f32; the state column and error
+    # control stay f64 (state trajectory identical to 'full').
+    split_sens = (config.sens_precision == "f32" and m > 0
+                  and dtype == jnp.float64)
+    f32 = jnp.float32
+
+    def _fact32(fact):
+        return jax.tree.map(
+            lambda a: a.astype(f32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, fact)
+
+    if split_sens:
+        def faug_split(t, Y):
+            y = Y[:, 0]
+            fy = f(t, y)
+            fs = sens_rhs(t.astype(f32), y.astype(f32),
+                          Y[:, 1:].astype(f32))
+            return jnp.concatenate([fy[:, None], fs.astype(dtype)], axis=1)
+    else:
+        faug_split = faug
+
     def factor_pair(h, J):
         """Factor MU_REAL/h I − J and the real embedding of
         MU_COMPLEX/h I − J."""
@@ -251,9 +273,9 @@ def radau_solve(
         def newton_body(it, carry):
             Z, W, dW_norm_old, n_iter, rate, converged, failed = carry
             active = ~(converged | failed)
-            F = jnp.stack([faug(t + C3[0] * h, Y + Z[0]),
-                           faug(t + C3[1] * h, Y + Z[1]),
-                           faug(t + C3[2] * h, Y + Z[2])])
+            F = jnp.stack([faug_split(t + C3[0] * h, Y + Z[0]),
+                           faug_split(t + C3[1] * h, Y + Z[1]),
+                           faug_split(t + C3[2] * h, Y + Z[2])])
             nonfinite = ~jnp.all(jnp.isfinite(F))
             f_real = (jnp.einsum("i,ink->nk", TIm[0], F)
                       - (mu_r / h) * W[0])
@@ -261,8 +283,22 @@ def radau_solve(
                          - (mu_re / h) * W[1] + (mu_im / h) * W[2])
             f_cplx_im = (jnp.einsum("i,ink->nk", TIm[2], F)
                          - (mu_im / h) * W[1] - (mu_re / h) * W[2])
-            dW0 = solve_fn(fr, f_real)
-            dW1, dW2 = solve_complex(fc, f_cplx_re, f_cplx_im)
+            if split_sens:
+                dW0_s = solve_fn(fr, f_real[:, :1])
+                dW0_x = solve_fn(_fact32(fr),
+                                 f_real[:, 1:].astype(f32)).astype(dtype)
+                dW0 = jnp.concatenate([dW0_s, dW0_x], axis=1)
+                d1s, d2s = solve_complex(fc, f_cplx_re[:, :1],
+                                         f_cplx_im[:, :1])
+                rhs32 = jnp.concatenate(
+                    [f_cplx_re[:, 1:], f_cplx_im[:, 1:]],
+                    axis=0).astype(f32)
+                out32 = solve_fn(_fact32(fc), rhs32).astype(dtype)
+                dW1 = jnp.concatenate([d1s, out32[:n]], axis=1)
+                dW2 = jnp.concatenate([d2s, out32[n:]], axis=1)
+            else:
+                dW0 = solve_fn(fr, f_real)
+                dW1, dW2 = solve_complex(fc, f_cplx_re, f_cplx_im)
             dW = jnp.stack([dW0, dW1, dW2])
             dW_norm = rms_norm(dW[:, :, 0] / scale[None])
             rate_new = dW_norm / jnp.where(dW_norm_old > 0, dW_norm_old, 1.0)
