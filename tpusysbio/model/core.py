@@ -43,6 +43,12 @@ class OdeModel:
     observables: Callable
     param_names: Tuple[str, ...] = ()
     state_names: Tuple[str, ...] = ()
+    # Optional closed-form fast paths (set by the mass-action builder):
+    # rhs_jac:  (t, y, p) -> (n, n) state Jacobian
+    # rhs_sens: (t, y, S, p) -> (n, m) forward-sensitivity RHS w.r.t. ALL
+    #           model parameters. When absent, AD (jacfwd / jvp) is used.
+    rhs_jac: Optional[Callable] = None
+    rhs_sens: Optional[Callable] = None
 
     def __post_init__(self):
         if self.param_names and len(self.param_names) != self.n_params:
@@ -60,8 +66,10 @@ class OdeModel:
         p = jnp.asarray(p)
         fn = solvers.SOLVERS[solver]
         y0 = self.y0(p)
+        jac = (None if self.rhs_jac is None
+               else (lambda t, y: self.rhs_jac(t, y, p.astype(y.dtype))))
         return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
-                  y0, t_eval, config=config)
+                  y0, t_eval, config=config, jac=jac)
 
     def simulate_sensitivities(self, p, t_span, t_eval, solver: str = "bdf",
                                config: Optional[SolverConfig] = None):
@@ -75,9 +83,15 @@ class OdeModel:
         fn = solvers.SOLVERS[solver]
         y0 = self.y0(p)
         s0 = jax.jacfwd(self.y0)(p)
-        sens_rhs = make_sens_rhs(self.rhs, p)
+        if self.rhs_sens is not None:
+            sens_rhs = lambda t, y, S: self.rhs_sens(t, y, S, p)  # noqa: E731
+        else:
+            sens_rhs = make_sens_rhs(self.rhs, p)
+        jac = (None if self.rhs_jac is None
+               else (lambda t, y: self.rhs_jac(t, y, p.astype(y.dtype))))
         return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
-                  y0, t_eval, config=config, sens_rhs=sens_rhs, s0=s0)
+                  y0, t_eval, config=config, sens_rhs=sens_rhs, s0=s0,
+                  jac=jac)
 
     def jacobian(self, t, y, p):
         """State Jacobian ∂f/∂y via forward-mode AD."""

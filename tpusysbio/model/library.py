@@ -151,6 +151,8 @@ def mapk_huang_ferrell() -> OdeModel:
     """
     net = _mapk_network()
     rhs = net.rhs()
+    rhs_jac = net.jac()
+    rhs_sens = net.sens_rhs()
     n = net.n_species
     idx = {sp: i for i, sp in enumerate(net.species)}
 
@@ -174,7 +176,8 @@ def mapk_huang_ferrell() -> OdeModel:
     return OdeModel(
         name="mapk_huang_ferrell", n_states=n, n_params=net.n_reactions,
         n_obs=3, rhs=rhs, y0=y0, observables=observables,
-        param_names=net.reaction_names, state_names=net.species)
+        param_names=net.reaction_names, state_names=net.species,
+        rhs_jac=rhs_jac, rhs_sens=rhs_sens)
 
 
 def mapk_true_params() -> np.ndarray:
@@ -276,6 +279,8 @@ def _egfr_network(n_layers: int = 12):
 def egfr_like(n_layers: int = 12) -> OdeModel:
     net, n_layers = _egfr_network(n_layers)
     rhs = net.rhs()
+    rhs_jac = net.jac()
+    rhs_sens = net.sens_rhs()
     n = net.n_species
     idx = {sp: i for i, sp in enumerate(net.species)}
 
@@ -296,7 +301,8 @@ def egfr_like(n_layers: int = 12) -> OdeModel:
     return OdeModel(
         name=f"egfr_like_{n}", n_states=n, n_params=net.n_reactions,
         n_obs=len(obs_rows), rhs=rhs, y0=y0, observables=observables,
-        param_names=net.reaction_names, state_names=net.species)
+        param_names=net.reaction_names, state_names=net.species,
+        rhs_jac=rhs_jac, rhs_sens=rhs_sens)
 
 
 def egfr_true_params(n_layers: int = 12, seed: int = 0) -> np.ndarray:

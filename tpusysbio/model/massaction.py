@@ -50,6 +50,91 @@ class MassActionNetwork:
     def n_reactions(self) -> int:
         return self.reactants.shape[0]
 
+    def _terms(self):
+        R = jnp.asarray(self.reactants)
+        S = jnp.asarray(self.stoich)
+
+        def term_of(y):
+            yb = jnp.broadcast_to(y[None, :], R.shape)
+            one = jnp.ones((), y.dtype)
+            return jnp.where(R == 0, one,
+                             jnp.where(R == 1, yb,
+                                       jnp.where(R == 2, yb * yb,
+                                                 yb * yb * yb)))
+
+        def dterm_of(y):
+            # d/dy_i of y_i^R: 0, 1, 2y, 3y^2
+            yb = jnp.broadcast_to(y[None, :], R.shape)
+            zero = jnp.zeros((), y.dtype)
+            one = jnp.ones((), y.dtype)
+            return jnp.where(R == 0, zero,
+                             jnp.where(R == 1, one,
+                                       jnp.where(R == 2, 2.0 * yb,
+                                                 3.0 * yb * yb)))
+
+        return R, S, term_of, dterm_of
+
+    def rate_grad(self) -> Callable:
+        """``(y, p) -> (monomials, M)`` with ``M[j, i] = ∂rate_j/∂y_i``.
+
+        The exclusive product over the other species uses forward/backward
+        cumulative products — exact at zero concentrations (no division).
+        Everything downstream (J, Fp, sensitivity RHS) is then matmuls:
+
+            J = S @ M                 (state Jacobian)
+            Fp = S * monomials[None]  (∂f/∂p, one column per rate constant)
+            dSens/dt = S @ (M @ Sens + diag(monomials))
+
+        This replaces the per-column jvp evaluation of the sensitivity RHS
+        (~2m RHS-equivalents per call) with two MXU matmuls — the
+        mass-action fast path (docs/PERFORMANCE.md).
+        """
+        R, S, term_of, dterm_of = self._terms()
+
+        def grads(y, p):
+            term = term_of(y)                       # (rx, n)
+            dterm = dterm_of(y)
+            n_sp = term.shape[1]
+            ones = jnp.ones((term.shape[0], 1), y.dtype)
+            fwd = jnp.concatenate(
+                [ones, jnp.cumprod(term, axis=1)[:, :-1]], axis=1)
+            bwd = jnp.concatenate(
+                [jnp.cumprod(term[:, ::-1], axis=1)[:, ::-1][:, 1:], ones],
+                axis=1)
+            prod_exc = fwd * bwd                    # Π_{l≠i} term[j,l]
+            mono = jnp.prod(term, axis=1)           # (rx,)
+            M = p[:, None] * dterm * prod_exc       # (rx, n)
+            return mono, M
+
+        return grads
+
+    def jac(self) -> Callable:
+        """Closed-form state Jacobian ``(t, y, p) -> (n, n)``."""
+        _, S, _, _ = self._terms()
+        grads = self.rate_grad()
+
+        def j(t, y, p):
+            del t
+            _, M = grads(y, p.astype(y.dtype))
+            return S.astype(y.dtype) @ M
+
+        return j
+
+    def sens_rhs(self) -> Callable:
+        """Closed-form forward-sensitivity RHS ``(t, y, Sens, p) -> (n, m)``
+        for sensitivities w.r.t. ALL rate constants (m = n_reactions)."""
+        _, S, _, _ = self._terms()
+        grads = self.rate_grad()
+
+        def fs(t, y, Sens, p):
+            del t
+            pc = p.astype(y.dtype)
+            mono, M = grads(y, pc)
+            inner = M @ Sens + jnp.diag(mono)       # (rx, m)
+            return S.astype(y.dtype) @ inner
+
+        return fs
+
     def rhs(self) -> Callable:
         """Return ``f(t, y, p) -> dy/dt`` (p = rate constants, one per
         reaction).

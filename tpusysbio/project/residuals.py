@@ -92,13 +92,21 @@ class Project:
             # dtype-following: enables the stepper's mixed-precision mode
             return model.rhs(t, y, p_e.astype(y.dtype))
 
+        jac = (None if model.rhs_jac is None
+               else (lambda t, y: model.rhs_jac(t, y,
+                                                p_e.astype(y.dtype))))
         if with_sens:
-            sens_rhs = make_sens_rhs(model.rhs, p_e)
+            if model.rhs_sens is not None:
+                sens_rhs = lambda t, y, S: model.rhs_sens(  # noqa: E731
+                    t, y, S, p_e)
+            else:
+                sens_rhs = make_sens_rhs(model.rhs, p_e)
             s0 = jax.jacfwd(model.y0)(p_e)
             res = solve(f, (t0, t_end), y0, t_eval, config=self.config,
-                        sens_rhs=sens_rhs, s0=s0)
+                        sens_rhs=sens_rhs, s0=s0, jac=jac)
         else:
-            res = solve(f, (t0, t_end), y0, t_eval, config=self.config)
+            res = solve(f, (t0, t_end), y0, t_eval, config=self.config,
+                        jac=jac)
 
         # observables g(y, p) and their total parameter derivative
         def obs(y):

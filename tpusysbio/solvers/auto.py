@@ -40,6 +40,7 @@ def auto_solve(
     config: SolverConfig = SolverConfig(),
     sens_rhs: Optional[Callable] = None,
     s0=None,
+    jac: Optional[Callable] = None,
     nonstiff_budget: Optional[int] = None,
 ) -> IntegrateResult:
     """LSODA-role integration: cheap explicit attempt, stiff fallback.
@@ -55,7 +56,7 @@ def auto_solve(
 
     def fallback():
         return bdf_solve(f, t_span, y0, t_eval, config=config,
-                         sens_rhs=sens_rhs, s0=s0)
+                         sens_rhs=sens_rhs, s0=s0, jac=jac)
 
     def keep():
         return res_rk

@@ -136,6 +136,7 @@ def bdf_solve(
     config: SolverConfig = SolverConfig(),
     sens_rhs: Optional[Callable] = None,
     s0: Optional[jax.Array] = None,
+    jac: Optional[Callable] = None,
 ) -> IntegrateResult:
     """Integrate ``dy/dt = f(t, y)`` from t_span[0] to t_span[1] (forward).
 
@@ -178,8 +179,9 @@ def bdf_solve(
             fs = sens_rhs(t, y, Y[:, 1:])
             return jnp.concatenate([fy[:, None], fs], axis=1)
 
-    def jac(t, y):
-        return jax.jacfwd(lambda yy: f(t, yy))(y)
+    if jac is None:
+        def jac(t, y):
+            return jax.jacfwd(lambda yy: f(t, yy))(y)
 
     factor_fn, solve_fn = make_linear_solver(config.linear_solver)
 

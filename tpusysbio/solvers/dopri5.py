@@ -83,6 +83,7 @@ def dopri5_solve(
     config: SolverConfig = SolverConfig(),
     sens_rhs: Optional[Callable] = None,
     s0: Optional[jax.Array] = None,
+    jac: Optional[Callable] = None,  # unused (explicit method)
 ) -> IntegrateResult:
     """Integrate ``dy/dt = f(t, y)`` forward; same interface as ``bdf_solve``."""
     dtype = jnp.result_type(y0.dtype)

@@ -108,6 +108,7 @@ def radau_solve(
     config: SolverConfig = SolverConfig(),
     sens_rhs: Optional[Callable] = None,
     s0: Optional[jax.Array] = None,
+    jac: Optional[Callable] = None,
 ) -> IntegrateResult:
     """Integrate ``dy/dt = f(t, y)`` forward; same interface as ``bdf_solve``."""
     dtype = jnp.result_type(y0.dtype)
@@ -134,8 +135,9 @@ def radau_solve(
             return jnp.concatenate(
                 [f(t, y)[:, None], sens_rhs(t, y, Y[:, 1:])], axis=1)
 
-    def jac(t, y):
-        return jax.jacfwd(lambda yy: f(t, yy))(y)
+    if jac is None:
+        def jac(t, y):
+            return jax.jacfwd(lambda yy: f(t, yy))(y)
 
     factor_fn, solve_fn = make_linear_solver(config.linear_solver)
     eps = jnp.finfo(dtype).eps

@@ -68,6 +68,7 @@ def rosenbrock_solve(
     config: SolverConfig = SolverConfig(),
     sens_rhs: Optional[Callable] = None,
     s0: Optional[jax.Array] = None,
+    jac: Optional[Callable] = None,
 ) -> IntegrateResult:
     """Integrate ``dy/dt = f(t, y)`` forward; same interface as ``bdf_solve``."""
     dtype = jnp.result_type(y0.dtype)
@@ -94,8 +95,9 @@ def rosenbrock_solve(
             return jnp.concatenate(
                 [f(t, y)[:, None], sens_rhs(t, y, Y[:, 1:])], axis=1)
 
-    def jac(t, y):
-        return jax.jacfwd(lambda yy: f(t, yy))(y)
+    if jac is None:
+        def jac(t, y):
+            return jax.jacfwd(lambda yy: f(t, yy))(y)
 
     def dfdt(t, Y):
         # time partial of the augmented RHS via jvp in t (non-autonomous term)
