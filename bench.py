@@ -67,13 +67,20 @@ def main():
                        linear_solver=SOLVER, sens_precision=SENS_PREC)
 
     def integrate(p):
-        sens_rhs = make_sens_rhs(model.rhs, p)
+        # model-provided closed-form fast paths (massaction.py) when
+        # available; jvp fallback otherwise
+        if model.rhs_sens is not None:
+            sens_rhs = lambda t, y, S: model.rhs_sens(t, y, S, p)  # noqa: E731
+        else:
+            sens_rhs = make_sens_rhs(model.rhs, p)
+        jac = (None if model.rhs_jac is None else
+               (lambda t, y: model.rhs_jac(t, y, p.astype(y.dtype))))
         s0 = jnp.zeros((model.n_states, model.n_params), p.dtype)
         solve = solvers.SOLVERS[STEPPER]
         res = solve(lambda t, y: model.rhs(t, y, p.astype(y.dtype)),
                     T_SPAN,
                     model.y0(p), t_eval, config=cfg,
-                    sens_rhs=sens_rhs, s0=s0)
+                    sens_rhs=sens_rhs, s0=s0, jac=jac)
         return res.ys, res.sens, res.status, res.nsteps
 
     run = jax.jit(jax.vmap(integrate))

@@ -9,7 +9,7 @@ determinism "sanitizer" lane, SURVEY.md §5).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 
 
 def uniform_starts(key: jax.Array, n: int, lower: jax.Array,

@@ -21,7 +21,7 @@ pseudo-solve the guarded LU produces.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import json
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 import jax
