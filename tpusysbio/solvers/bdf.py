@@ -18,12 +18,19 @@ TPU-native design decisions (NOT a port — SURVEY.md §7 M2):
   retry with a fresh Jacobian, step rejection, and acceptance are branchless
   ``jnp.where`` merges of the full carry (SURVEY.md §7 hard part 2), so the
   stepper vmaps over multi-start ensembles with per-member adaptivity.
-- State is a column block ``Y`` of shape (n, k): column 0 is the model state,
-  columns 1..m are forward sensitivities. The Newton matrix of the augmented
-  system is block-diagonal with identical blocks ``I - c J``, so one
-  factorization serves state and all sensitivity columns as a single
-  (n, k) multi-RHS solve — the CVODES staggered/simultaneous-corrector trick
-  (SURVEY.md §3.3) expressed as a matmul, which is the MXU-friendly shape.
+- State is a column block: column 0 is the model state, columns 1..m are
+  forward sensitivities. The Newton matrix of the augmented system is
+  block-diagonal with identical blocks ``I - c J``, so one factorization
+  serves state and all sensitivity columns as a multi-RHS solve — the
+  CVODES staggered/simultaneous-corrector trick (SURVEY.md §3.3) expressed
+  as a matmul, the MXU-friendly shape.
+- The column block is stored as a tuple of PARTS with independent dtypes:
+  with ``config.sens_precision='f32'`` the state part (column 0, error
+  control, dense output) stays f64 while the entire sensitivity part —
+  RHS evaluations, Newton solves, difference-array bookkeeping, dense
+  output — lives in f32 (docs/PERFORMANCE.md: f64 is software-emulated on
+  TPU; sensitivities only need LM-Jacobian accuracy). The state trajectory
+  is bit-identical to full precision.
 - ``t_eval`` alignment evaluates the dense-output polynomial at ALL static
   output times after each accepted step under a mask — static shapes, no
   restarts at measurement times (SURVEY.md §3.2 rebuild note).
@@ -94,6 +101,7 @@ def _change_D(D, order, factor):
     identity — one einsum, no dynamic slicing.
     """
     dtype = D.dtype
+    factor = factor.astype(dtype)
     P = _compute_R(factor, dtype) @ _compute_R(jnp.ones((), dtype), dtype)
     rows = jnp.arange(D_ROWS)
     i = rows[:, None]
@@ -111,7 +119,7 @@ class _BDFState(NamedTuple):
     t: jax.Array
     h_abs: jax.Array
     order: jax.Array          # int32, 1..5
-    D: jax.Array              # (D_ROWS, n, k) difference array
+    D: tuple                  # per-part (D_ROWS, n, k_p) difference arrays
     J: jax.Array              # (n, n) cached state Jacobian
     fact: object              # factorization pytree of I - c*J
     lu_valid: jax.Array       # bool: fact usable (SciPy reuse semantics)
@@ -119,7 +127,7 @@ class _BDFState(NamedTuple):
     last_accepted: jax.Array  # bool: previous body iteration accepted a step
     n_equal_steps: jax.Array  # int32
     status: jax.Array         # int32
-    ys_acc: jax.Array         # (T, n, k) dense output accumulator
+    ys_acc: tuple             # per-part (T, n, k_p) dense output accumulators
     nsteps: jax.Array
     naccepted: jax.Array
     nrejected: jax.Array
@@ -141,16 +149,17 @@ def bdf_solve(
     """Integrate ``dy/dt = f(t, y)`` from t_span[0] to t_span[1] (forward).
 
     Args:
-      f: RHS ``f(t, y) -> (n,)`` (parameters closed over).
+      f: RHS ``f(t, y) -> (n,)`` (parameters closed over; must follow the
+        dtype of ``y`` so the stepper can control compute precision).
       t_span: ``(t0, t1)`` with ``t1 > t0``.
       y0: initial state ``(n,)``.
       t_eval: static sorted output times within ``[t0, t1]``.
       config: solver configuration (tolerances, step budget, linear solver).
       sens_rhs: optional ``(t, y, S) -> (n, m)`` computing the forward
-        sensitivity RHS ``(∂f/∂y) S + ∂f/∂p`` (built via ``jax.jvp`` by
-        ``tpusysbio.sens``); enables in-stepper sensitivities. Requires
-        ``s0`` of shape (n, m) (``dy0/dp``; zeros when y0 is
-        parameter-independent).
+        sensitivity RHS ``(∂f/∂y) S + ∂f/∂p``; enables in-stepper
+        sensitivities. Requires ``s0`` of shape (n, m).
+      jac: optional analytic state Jacobian ``(t, y) -> (n, n)``
+        (closed-form mass-action fast path); jacfwd otherwise.
 
     Returns an ``IntegrateResult`` with ``ys`` (T, n), ``sens`` (T, n, m).
     """
@@ -167,17 +176,6 @@ def bdf_solve(
         m = s0.shape[1]
     else:
         m = 0
-    k = 1 + m
-
-    if sens_rhs is None:
-        def faug(t, Y):
-            return f(t, Y[:, 0])[:, None]
-    else:
-        def faug(t, Y):
-            y = Y[:, 0]
-            fy = f(t, y)
-            fs = sens_rhs(t, y, Y[:, 1:])
-            return jnp.concatenate([fy[:, None], fs], axis=1)
 
     if jac is None:
         def jac(t, y):
@@ -185,16 +183,11 @@ def bdf_solve(
 
     factor_fn, solve_fn = make_linear_solver(config.linear_solver)
 
-    # Mixed-precision hot loop (config.mixed_precision): the RHS/JVP
-    # evaluations, the Jacobian, and the Newton solves run in f32 (the
-    # closures are dtype-following); accumulation (Y, d, D), step control,
-    # and error norms stay in f64. See config.py for the error analysis.
+    # Mixed-precision hot loop (config.mixed_precision): RHS/Jacobian/
+    # solves in f32, accumulation + control in f64 (screening mode).
     mp = config.mixed_precision and dtype == jnp.float64
     cdt = jnp.float32 if mp else dtype
     if mp:
-        def faug_c(t, Y):
-            return faug(t.astype(cdt), Y.astype(cdt))
-
         def jac_c(t, y):
             return jax.jacfwd(
                 lambda yy: f(t.astype(cdt), yy))(y.astype(cdt))
@@ -204,23 +197,56 @@ def bdf_solve(
 
         def solve_c(fact, b):
             return solve_fn(fact, b.astype(cdt)).astype(dtype)
-    else:
-        faug_c, jac_c, factor_c, solve_c = faug, jac, factor_fn, solve_fn
 
-    # Split-precision sensitivities (config.sens_precision == 'f32'): the
-    # state column keeps full-precision dynamics and error control; the m
-    # sensitivity columns (the bulk of the work) evaluate their jvp RHS
-    # and solve against the shared factorization in f32. The state
-    # trajectory is bit-identical to 'full' mode (state dynamics never
-    # read the sensitivity columns).
-    split_sens = (config.sens_precision == "f32" and m > 0 and not mp
-                  and dtype == jnp.float64)
+        def f_c(t, y):
+            return f(t.astype(cdt), y.astype(cdt)).astype(dtype)
+    else:
+        jac_c, factor_c, solve_c, f_c = jac, factor_fn, solve_fn, f
+
+    # Column parts: [(n_cols, dtype), ...]. With sens_precision='f32' the
+    # sensitivity columns live ENTIRELY in f32 (storage, RHS, solves,
+    # bookkeeping, dense output); part 0 (the state) drives all control.
+    split = (config.sens_precision == "f32" and m > 0 and not mp
+             and dtype == jnp.float64 and not config.sens_error_control)
     f32 = jnp.float32
+    if split:
+        parts = ((1, dtype), (m, f32))
+    else:
+        parts = ((1 + m, dtype),)
+
+    def bmap(fn, *blocks):
+        return tuple(fn(*(b[i] for b in blocks), i)
+                     for i in range(len(parts)))
 
     def _fact32(fact):
         return jax.tree.map(
             lambda a: a.astype(f32)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, fact)
+
+    # part-wise augmented RHS: returns a block tuple
+    if m == 0:
+        def faug_b(t, Yb):
+            return (f_c(t, Yb[0][:, 0])[:, None],)
+    elif split:
+        def faug_b(t, Yb):
+            y = Yb[0][:, 0]
+            fy = f(t, y)
+            fs = sens_rhs(t.astype(f32), y.astype(f32), Yb[1])
+            return (fy[:, None], fs)
+    else:
+        def faug_b(t, Yb):
+            Y = Yb[0]
+            y = Y[:, 0]
+            if mp:
+                y32 = Y.astype(cdt)
+                fy = f(t.astype(cdt), y32[:, 0]).astype(dtype)
+                fs = sens_rhs(t.astype(cdt), y32[:, 0],
+                              y32[:, 1:]).astype(dtype)
+                return (jnp.concatenate([fy[:, None], fs], axis=1),)
+            fy = f(t, y)
+            fs = sens_rhs(t, y, Y[:, 1:])
+            return (jnp.concatenate([fy[:, None], fs], axis=1),)
+
     _, gamma, alpha, error_const = _ndf_constants(dtype)
     eps = jnp.finfo(dtype).eps
     newton_tol = max(10 * float(eps) / config.rtol,
@@ -233,11 +259,15 @@ def bdf_solve(
     ks5 = jnp.arange(1, MAX_ORDER + 1)
 
     # --- initialization (bdf.py __init__) -------------------------------
-    Y0 = y0[:, None]
-    if m:
-        Y0 = jnp.concatenate([Y0, jnp.asarray(s0, dtype)], axis=1)
-    F0 = faug(t0, Y0)
-    f0 = F0[:, 0]
+    if split:
+        Y0b = (y0[:, None], jnp.asarray(s0, f32))
+    elif m:
+        Y0b = (jnp.concatenate([y0[:, None], jnp.asarray(s0, dtype)],
+                               axis=1),)
+    else:
+        Y0b = (y0[:, None],)
+    F0b = faug_b(t0, Y0b)
+    f0 = F0b[0][:, 0]
     if config.first_step is None:
         h0 = common.select_initial_step(
             f, t0, y0, f0, t_bound, config.max_step, rtol, atol, order=1)
@@ -245,16 +275,22 @@ def bdf_solve(
         h0 = jnp.asarray(config.first_step, dtype)
     h0 = jnp.minimum(h0, jnp.abs(t_bound - t0))
 
-    D0 = jnp.zeros((D_ROWS, n, k), dtype)
-    D0 = D0.at[0].set(Y0)
-    D0 = D0.at[1].set(F0 * h0)
+    D0 = bmap(
+        lambda Y0p, F0p, i: jnp.zeros(
+            (D_ROWS,) + Y0p.shape, Y0p.dtype
+        ).at[0].set(Y0p).at[1].set(F0p * h0.astype(Y0p.dtype)),
+        Y0b, F0b)
 
     J0 = jac_c(t0, y0)
     fact0 = factor_c(I_n)  # placeholder with the right pytree structure
 
     # prefill outputs at t_eval points exactly at t0
-    ys0 = jnp.where((t_eval == t0)[:, None, None],
-                    Y0[None], jnp.zeros((t_eval.shape[0], n, k), dtype))
+    at_t0 = (t_eval == t0)[:, None, None]
+    ys0 = bmap(
+        lambda Y0p, i: jnp.where(
+            at_t0, Y0p[None],
+            jnp.zeros((t_eval.shape[0],) + Y0p.shape, Y0p.dtype)),
+        Y0b)
 
     def i32(v):
         return jnp.asarray(v, jnp.int32)
@@ -289,7 +325,8 @@ def bdf_solve(
         too_small = (h_abs < min_step) & ~st.last_accepted
         h_clamped = jnp.clip(h_abs, min_step, max_step)
         pre_clamp = st.last_accepted & (h_clamped != h_abs)
-        D = jnp.where(pre_clamp, _change_D(D, order, h_clamped / h_abs), D)
+        D = bmap(lambda Dp, i: jnp.where(
+            pre_clamp, _change_D(Dp, order, h_clamped / h_abs), Dp), D)
         n_equal_steps = jnp.where(pre_clamp, 0, n_equal_steps)
         h_abs = jnp.where(st.last_accepted, h_clamped, h_abs)
 
@@ -299,18 +336,25 @@ def bdf_solve(
         t_new = jnp.where(clipped, t_bound, t_new_raw)
         h = t_new - t
         clip_factor = jnp.where(clipped, h / h_abs, jnp.ones((), dtype))
-        D = jnp.where(clipped, _change_D(D, order, clip_factor), D)
+        D = bmap(lambda Dp, i: jnp.where(
+            clipped, _change_D(Dp, order, clip_factor), Dp), D)
         n_equal_steps = jnp.where(clipped, 0, n_equal_steps)
         lu_valid = lu_valid & ~clipped
         h_abs = h
 
         # --- prediction (bdf.py:355-358) ---
-        pred_mask = (rows <= order).astype(dtype)
-        y_predict = jnp.einsum("i,i...->...", pred_mask, D)
-        psi_w = jnp.where((rows >= 1) & (rows <= order), gamma_pad[rows], 0.0)
+        pred_mask = (rows <= order)
+        y_predict = bmap(
+            lambda Dp, i: jnp.einsum(
+                "i,i...->...", pred_mask.astype(Dp.dtype), Dp), D)
+        psi_w = jnp.where((rows >= 1) & (rows <= order), gamma_pad[rows],
+                          0.0)
         c = h / alpha[order]
-        psi = jnp.einsum("i,i...->...", psi_w, D) / alpha[order]
-        scale_state = atol + rtol * jnp.abs(y_predict[:, 0])
+        psi = bmap(
+            lambda Dp, i: jnp.einsum(
+                "i,i...->...", (psi_w / alpha[order]).astype(Dp.dtype), Dp),
+            D)
+        scale_state = atol + rtol * jnp.abs(y_predict[0][:, 0])
 
         # --- factorization (reused while SciPy would reuse it) ---
         with jax.named_scope("bdf.factor"):
@@ -320,29 +364,26 @@ def bdf_solve(
                 lambda: factor_c(I_n - c * st.J.astype(dtype)),
             )
         nlu = st.nlu + jnp.where(lu_valid, 0, 1)
+        fact32 = _fact32(fact) if split else None
 
-        # --- modified Newton, fixed NEWTON_MAXITER trips, masked (bdf.py:36-69)
+        # --- modified Newton, fixed NEWTON_MAXITER trips, masked
+        #     (bdf.py:36-69) ---
+        c_b = tuple(c.astype(dt) for _, dt in parts)
+
         def newton_body(it, carry):
             Y, d, dy_norm_old, n_iter, converged, failed = carry
             active = ~(converged | failed)
-            if split_sens:
-                y_st = Y[:, 0]
-                fy = f(t_new, y_st)
-                fs = sens_rhs(t_new.astype(f32), y_st.astype(f32),
-                              Y[:, 1:].astype(f32))
-                Fv = jnp.concatenate([fy[:, None], fs.astype(dtype)],
-                                     axis=1)
-                nonfinite = ~jnp.all(jnp.isfinite(Fv))
-                resid = c * Fv - psi - d
-                dy_state = solve_c(fact, resid[:, :1])
-                dy_sens = solve_fn(_fact32(fact),
-                                   resid[:, 1:].astype(f32)).astype(dtype)
-                dy = jnp.concatenate([dy_state, dy_sens], axis=1)
+            Fv = faug_b(t_new, Y)
+            nonfinite = ~jnp.stack(
+                [jnp.all(jnp.isfinite(Fp)) for Fp in Fv]).all()
+            resid = bmap(lambda Fp, pp, dp, i: c_b[i] * Fp - pp - dp,
+                         Fv, psi, d)
+            if split:
+                dy = (solve_c(fact, resid[0]),
+                      solve_fn(fact32, resid[1]))
             else:
-                Fv = faug_c(t_new, Y).astype(dtype)
-                nonfinite = ~jnp.all(jnp.isfinite(Fv))
-                dy = solve_c(fact, c * Fv - psi - d)
-            dy_norm = rms_norm(dy[:, 0] / scale_state)
+                dy = (solve_c(fact, resid[0]),)
+            dy_norm = rms_norm(dy[0][:, 0] / scale_state)
             rate = dy_norm / jnp.where(dy_norm_old > 0, dy_norm_old, 1.0)
             have_rate = it > 0
             diverged = have_rate & (
@@ -350,20 +391,21 @@ def bdf_solve(
                 | (rate ** (NEWTON_MAXITER - it) / (1.0 - rate) * dy_norm
                    > newton_tol))
             ok = active & ~nonfinite & ~diverged
-            Y = jnp.where(ok, Y + dy, Y)
-            d = jnp.where(ok, d + dy, d)
+            Y = bmap(lambda Yp, dyp, i: jnp.where(ok, Yp + dyp, Yp), Y, dy)
+            d = bmap(lambda dp, dyp, i: jnp.where(ok, dp + dyp, dp), d, dy)
             conv_now = ok & ((dy_norm == 0.0)
                              | (have_rate
-                                & (rate / (1.0 - rate) * dy_norm < newton_tol)))
+                                & (rate / (1.0 - rate) * dy_norm
+                                   < newton_tol)))
             converged = converged | conv_now
             failed = failed | (active & (nonfinite | diverged))
             n_iter = n_iter + jnp.where(active, 1, 0)
             dy_norm_old = jnp.where(ok, dy_norm, dy_norm_old)
             return Y, d, dy_norm_old, n_iter, converged, failed
 
-        init = (y_predict, jnp.zeros_like(y_predict), jnp.zeros((), dtype),
-                jnp.zeros((), jnp.int32), jnp.asarray(False),
-                jnp.asarray(False))
+        init = (y_predict, bmap(lambda yp, i: jnp.zeros_like(yp), y_predict),
+                jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
+                jnp.asarray(False), jnp.asarray(False))
         with jax.named_scope("bdf.newton"):
             Y_new, d, _, n_iter, converged, _ = lax.fori_loop(
                 0, NEWTON_MAXITER, newton_body, init)
@@ -374,16 +416,16 @@ def bdf_solve(
         case_B = ~converged & ~st.current_jac
         # C: Newton failed with fresh J -> halve the step.
         case_C = ~converged & st.current_jac
-        J = lax.cond(case_B, lambda: jac_c(t_new, y_predict[:, 0]),
+        J = lax.cond(case_B, lambda: jac_c(t_new, y_predict[0][:, 0]),
                      lambda: st.J)
         njev = st.njev + jnp.where(case_B, 1, 0)
 
         safety = (config.safety * (2 * NEWTON_MAXITER + 1)
                   / (2 * NEWTON_MAXITER + n_iter.astype(dtype)))
-        scale_new = atol + rtol * jnp.abs(Y_new[:, 0])
-        err = error_const[order] * d
-        if config.sens_error_control and m:
-            scale_full = atol + rtol * jnp.abs(Y_new)
+        scale_new = atol + rtol * jnp.abs(Y_new[0][:, 0])
+        err = error_const[order] * d[0]
+        if config.sens_error_control and m and not split:
+            scale_full = atol + rtol * jnp.abs(Y_new[0])
             error_norm = rms_norm(err / scale_full)
         else:
             error_norm = rms_norm(err[:, 0] / scale_new)
@@ -395,15 +437,19 @@ def bdf_solve(
         accept = converged & ~reject
 
         # --- D update on accept (bdf.py:409-415) ---
-        D_acc = D
-        D_acc = D_acc.at[order + 2].set(d - D_acc[order + 1])
-        D_acc = D_acc.at[order + 1].set(d)
+        D_acc = bmap(
+            lambda Dp, dp, i: Dp.at[order + 2].set(dp - Dp[order + 1])
+                                .at[order + 1].set(dp),
+            D, d)
 
         # D[i] += D[i+1] for i = order..0 (downward sweep, masked)
         def cum_body(jj, Dc):
             idx = (order - jj) % D_ROWS
-            upd = Dc[idx] + Dc[(idx + 1) % D_ROWS]
-            return Dc.at[idx].set(jnp.where(jj <= order, upd, Dc[idx]))
+            return bmap(
+                lambda Dp, i: Dp.at[idx].set(
+                    jnp.where(jj <= order, Dp[idx] + Dp[(idx + 1) % D_ROWS],
+                              Dp[idx])),
+                Dc)
 
         D_acc = lax.fori_loop(0, MAX_ORDER + 1, cum_body, D_acc)
 
@@ -412,11 +458,11 @@ def bdf_solve(
         do_adapt = accept & (n_equal_acc >= order + 1)
         ec_m = error_const[jnp.maximum(order - 1, 0)]
         ec_p = error_const[jnp.minimum(order + 1, MAX_ORDER + 1)]
-        err_m = ec_m * D_acc[order]
-        err_p = ec_p * D_acc[order + 2]
+        err_m = ec_m * D_acc[0][order]
+        err_p = ec_p * D_acc[0][order + 2]
         inf_ = jnp.asarray(jnp.inf, dtype)
-        if config.sens_error_control and m:
-            scale_full = atol + rtol * jnp.abs(Y_new)
+        if config.sens_error_control and m and not split:
+            scale_full = atol + rtol * jnp.abs(Y_new[0])
             err_m_norm = jnp.where(order > 1,
                                    rms_norm(err_m / scale_full), inf_)
             err_p_norm = jnp.where(order < MAX_ORDER,
@@ -436,7 +482,8 @@ def bdf_solve(
         factors = jnp.where(finite_norm, safe_norms ** exponents, 0.0)
         best = jnp.argmax(factors).astype(jnp.int32)
         order_adapt = jnp.clip(order + best - 1, 1, MAX_ORDER)
-        factor_adapt = jnp.minimum(config.max_factor, safety * jnp.max(factors))
+        factor_adapt = jnp.minimum(config.max_factor,
+                                   safety * jnp.max(factors))
 
         if _DEBUG:
             print(f"dbg t={float(t):.6e} h={float(h_abs):.4e} "
@@ -448,16 +495,17 @@ def bdf_solve(
 
         # merge the h-factor for the three D-rescaling cases
         factor_rej = jnp.maximum(
-            config.min_factor, safety * error_norm ** (-1.0 / (orderf + 1.0)))
+            config.min_factor,
+            safety * error_norm ** (-1.0 / (orderf + 1.0)))
         h_factor = jnp.where(
             case_C, 0.5,
             jnp.where(reject, factor_rej,
                       jnp.where(do_adapt, factor_adapt, 1.0)))
         change = case_C | reject | do_adapt
         order_new = jnp.where(do_adapt, order_adapt, order)
-        D_base = jnp.where(accept, D_acc, D)
-        D_new = jnp.where(change, _change_D(D_base, order_new, h_factor),
-                          D_base)
+        D_base = bmap(lambda Da, Dp, i: jnp.where(accept, Da, Dp), D_acc, D)
+        D_new = bmap(lambda Dp, i: jnp.where(
+            change, _change_D(Dp, order_new, h_factor), Dp), D_base)
         h_new = h_abs * jnp.where(change, h_factor, 1.0)
 
         t_next = jnp.where(accept, t_new, t)
@@ -467,27 +515,35 @@ def bdf_solve(
         # or order/step adaptation invalidate it.
         lu_valid_new = ~(case_B | case_C | do_adapt)
         current_jac_new = jnp.where(case_B, True,
-                                    jnp.where(accept, False, st.current_jac))
+                                    jnp.where(accept, False,
+                                              st.current_jac))
 
         # --- dense output at t_eval (BdfDenseOutput, bdf.py:457-479) ---
         # Uses post-update D/order/h: the change_D rescaling preserves the
         # interpolating polynomial, matching SciPy's _dense_output_impl.
-        def interp(tv):
+        def interp_part(Dp, tv):
+            dt = Dp.dtype
             jj = jnp.arange(MAX_ORDER, dtype=dtype)
             t_shift = t_new - h_new * jj
             denom = h_new * (1.0 + jj)
-            x = (tv[:, None] - t_shift[None, :]) / denom
+            # the time differences cancel catastrophically in f32 — form
+            # x in f64, then run the polynomial in the part's dtype
+            x = ((tv[:, None] - t_shift[None, :]) / denom).astype(dt)
             p = jnp.cumprod(x, axis=1)
-            p = jnp.where(ks5[None, :] <= order_new, p, 0.0)
-            return D_new[0][None] + jnp.einsum("tj,jnk->tnk", p,
-                                               D_new[1:MAX_ORDER + 1])
+            p = jnp.where(ks5[None, :] <= order_new, p,
+                          jnp.zeros((), dt))
+            return Dp[0][None] + jnp.einsum("tj,jnk->tnk", p,
+                                            Dp[1:MAX_ORDER + 1])
 
         with jax.named_scope("bdf.dense_output"):
-            ys_acc = jnp.where(
-                accept,
-                common.interp_accumulate(t_eval, t, t_new, interp,
-                                         st.ys_acc),
-                st.ys_acc)
+            ys_acc = bmap(
+                lambda Dp, acc, i: jnp.where(
+                    accept,
+                    common.interp_accumulate(
+                        t_eval, t, t_new, lambda tv: interp_part(Dp, tv),
+                        acc),
+                    acc),
+                D_new, st.ys_acc)
 
         done = accept & (t_new >= t_bound)
         nsteps = st.nsteps + 1
@@ -512,8 +568,12 @@ def bdf_solve(
             lambda a, b: jnp.where(too_small, a, b), frozen, new_st)
 
     final = lax.while_loop(cond, body, state)
-    ys = final.ys_acc[:, :, 0]
-    sens = final.ys_acc[:, :, 1:]
+    if split:
+        ys = final.ys_acc[0][:, :, 0]
+        sens = final.ys_acc[1].astype(dtype)
+    else:
+        ys = final.ys_acc[0][:, :, 0]
+        sens = final.ys_acc[0][:, :, 1:]
     return IntegrateResult(
         ys=ys, sens=sens, status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,
