@@ -23,7 +23,7 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-BATCH = int(os.environ.get("TPUSYSBIO_FITS_BATCH", "64"))
+BATCH = int(os.environ.get("TPUSYSBIO_FITS_BATCH", "128"))
 MAX_ITER = int(os.environ.get("TPUSYSBIO_FITS_MAXITER", "20"))
 
 
