@@ -264,3 +264,20 @@ def test_two_phase_multistart():
     best = polish.best()
     assert int(best.status) > 0
     assert float(best.cost) < 1.2 * float(proj_tight.cost(theta_true))
+
+
+def test_multistart_compaction_matches_unchunked():
+    """Converged members exit the lockstep between chunks (compaction);
+    results identical to the plain path member-for-member."""
+    rng = np.random.default_rng(5)
+    theta0s = jnp.asarray(rng.normal(scale=1.0, size=(16, 2)))
+    a = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=120))
+    b = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=120), iter_chunk=5)
+    np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(a.n_iter),
+                                  np.asarray(b.n_iter))
+    np.testing.assert_array_equal(np.asarray(a.status),
+                                  np.asarray(b.status))

@@ -83,7 +83,26 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
         in_axes=(0, None)), (True, False))
 
     def run(theta0s):
+        # Batch compaction (docs/PERFORMANCE.md roadmap #3): converged
+        # members leave the lockstep between chunks. Finished members are
+        # flushed into host-side result slots and the survivors repacked
+        # into the next power-of-two batch (bounded set of compiled
+        # shapes); pad slots duplicate a survivor and are dropped at flush.
+        N = theta0s.shape[0]
         state = init(theta0s)
+        orig_idx = np.arange(N)
+        flushed = {}
+
+        def flush(state_np_done_mask, state, idxs):
+            fr = jax.vmap(lm_finish)(state)
+            fr_np = jax.tree.map(np.asarray, fr)
+            seen = set()
+            for slot, oi in enumerate(idxs):
+                if state_np_done_mask[slot] and oi >= 0 and oi not in seen:
+                    flushed[int(oi)] = jax.tree.map(
+                        lambda a: a[slot], fr_np)
+                    seen.add(oi)
+
         cap = iter_chunk
         while True:
             state = step(state, jnp.asarray(min(cap, config.max_iter),
@@ -91,9 +110,26 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
             done = np.asarray(state.done) | (
                 np.asarray(state.n_iter) >= config.max_iter)
             if done.all() or cap >= config.max_iter:
+                flush(done | True, state, orig_idx)
                 break
+            n_live = int((~done).sum())
+            cur = orig_idx.shape[0]
+            # repack when at most half the slots are live (and without a
+            # mesh — resharding a shrunken batch is future work)
+            if mesh is None and n_live <= cur // 2 and n_live > 0:
+                flush(done, state, orig_idx)
+                new_size = max(1 << (n_live - 1).bit_length(),
+                               min(8, cur))
+                live = np.flatnonzero(~done)
+                pad = np.full(new_size - n_live, live[0])
+                sel = np.concatenate([live, pad])
+                state = jax.tree.map(lambda a: a[jnp.asarray(sel)], state)
+                orig_idx = np.concatenate(
+                    [orig_idx[live], np.full(new_size - n_live, -1)])
             cap += iter_chunk
-        return jax.vmap(lm_finish)(state)
+
+        out = [flushed[i] for i in range(N)]
+        return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *out)
 
     return run
 
