@@ -274,7 +274,7 @@ def test_multistart_compaction_matches_unchunked():
     a = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
                        FitConfig(max_iter=120))
     b = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
-                       FitConfig(max_iter=120), iter_chunk=5)
+                       FitConfig(max_iter=120), iter_chunk=5, compact=True)
     np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
                                atol=1e-12)
     np.testing.assert_array_equal(np.asarray(a.n_iter),

@@ -61,7 +61,7 @@ def _fit_batch_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
 
 def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
                     config: FitConfig, iter_chunk: int,
-                    mesh: Optional[Mesh]):
+                    mesh: Optional[Mesh], compact: bool):
     """Advance the whole batch ``iter_chunk`` LM iterations per device
     call (bounded single-execution time). The iteration cap is a traced
     scalar, so all chunks share one compilation."""
@@ -110,13 +110,14 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
             done = np.asarray(state.done) | (
                 np.asarray(state.n_iter) >= config.max_iter)
             if done.all() or cap >= config.max_iter:
-                flush(done | True, state, orig_idx)
+                flush(np.ones_like(done), state, orig_idx)
                 break
             n_live = int((~done).sum())
             cur = orig_idx.shape[0]
             # repack when at most half the slots are live (and without a
             # mesh — resharding a shrunken batch is future work)
-            if mesh is None and n_live <= cur // 2 and n_live > 0:
+            if compact and mesh is None and n_live <= cur // 2 \
+                    and n_live > 0:
                 flush(done, state, orig_idx)
                 new_size = max(1 << (n_live - 1).bit_length(),
                                min(8, cur))
@@ -143,6 +144,7 @@ def multistart_fit(
     checkpoint_path: Optional[str] = None,
     chunk_size: Optional[int] = None,
     iter_chunk: Optional[int] = None,
+    compact: bool = False,
 ) -> MultistartResult:
     """Fit every row of ``theta0s`` (N, G); returns per-start results.
 
@@ -153,11 +155,14 @@ def multistart_fit(
     With ``iter_chunk``, each device call advances the (resumable) LM
     state by at most that many iterations — required on runtimes that kill
     long single executions (docs/PERFORMANCE.md "TPU runtime hazards"),
-    and the hook for mid-fit checkpointing.
+    and the hook for mid-fit checkpointing. ``compact=True`` additionally
+    flushes converged members between chunks and repacks survivors into
+    smaller batches — pays off for long-tailed convergence (each new batch
+    size compiles once); measured counterproductive for short tails.
     """
     if iter_chunk:
         fit_batch = _chunked_fit_fn(residual_fn, residual_and_jac_fn,
-                                    config, iter_chunk, mesh)
+                                    config, iter_chunk, mesh, compact)
     else:
         fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config)
 
