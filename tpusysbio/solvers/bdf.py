@@ -134,6 +134,7 @@ class _BDFState(NamedTuple):
     nfev: jax.Array
     njev: jax.Array
     nlu: jax.Array
+    order_hist: jax.Array     # (MAX_ORDER+1,) accepted steps per order
 
 
 def bdf_solve(
@@ -303,6 +304,7 @@ def bdf_solve(
         nsteps=i32(0), naccepted=i32(0), nrejected=i32(0),
         nfev=i32(1 + (0 if config.first_step is not None else 2)),
         njev=i32(1), nlu=i32(0),
+        order_hist=jnp.zeros((MAX_ORDER + 1,), jnp.int32),
     )
 
     def cond(st: _BDFState):
@@ -559,7 +561,9 @@ def bdf_solve(
             n_equal_steps=n_equal_new, status=status, ys_acc=ys_acc,
             nsteps=nsteps, naccepted=st.naccepted + jnp.where(accept, 1, 0),
             nrejected=st.nrejected + jnp.where(reject | case_C, 1, 0),
-            nfev=nfev, njev=njev, nlu=nlu)
+            nfev=nfev, njev=njev, nlu=nlu,
+            order_hist=st.order_hist.at[order].add(
+                jnp.where(accept, 1, 0)))
 
         # a fatal underflow freezes the state (failed members are masked
         # out downstream, never aborting a vmapped batch)
@@ -577,4 +581,5 @@ def bdf_solve(
     return IntegrateResult(
         ys=ys, sens=sens, status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,
-        nfev=final.nfev, njev=final.njev, nlu=final.nlu)
+        nfev=final.nfev, njev=final.njev, nlu=final.nlu,
+        order_hist=final.order_hist)

@@ -49,6 +49,9 @@ class IntegrateResult(NamedTuple):
     nfev: jax.Array
     njev: jax.Array
     nlu: jax.Array
+    # accepted-step counts per BDF order 1..5 (zeros for other steppers) —
+    # the "order histogram" observability channel (SURVEY.md §5)
+    order_hist: jax.Array = None
 
     @property
     def success(self):

@@ -234,4 +234,5 @@ def dopri5_solve(
         status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,
         nfev=final.nfev, njev=jnp.zeros((), jnp.int32),
-        nlu=jnp.zeros((), jnp.int32))
+        nlu=jnp.zeros((), jnp.int32),
+        order_hist=jnp.zeros((6,), jnp.int32))

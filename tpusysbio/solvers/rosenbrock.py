@@ -230,4 +230,5 @@ def rosenbrock_solve(
         ys=final.ys_acc[:, :, 0], sens=final.ys_acc[:, :, 1:],
         status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,
-        nfev=final.nfev, njev=final.njev, nlu=final.nlu)
+        nfev=final.nfev, njev=final.njev, nlu=final.nlu,
+        order_hist=jnp.zeros((6,), jnp.int32))

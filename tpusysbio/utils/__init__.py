@@ -34,7 +34,7 @@ def sanitizer(nans: bool = True, checks: bool = True):
         ctx.append(("jax_debug_nans", True))
     if checks:
         ctx.append(("jax_enable_checks", True))
-    old = {k: jax.config.read(k) for k, _ in ctx}
+    old = {k: getattr(jax.config, k) for k, _ in ctx}
     try:
         for k, v in ctx:
             jax.config.update(k, v)
