@@ -266,6 +266,58 @@ def test_two_phase_multistart():
     assert float(best.cost) < 1.2 * float(proj_tight.cost(theta_true))
 
 
+def test_covariance_matches_scipy_leastsq():
+    """FitResult.cov == scipy.optimize.leastsq cov_x (reference parity:
+    scipy/optimize/_minpack_py.py:482-501) on Powell's problem."""
+    from scipy.optimize import leastsq
+
+    def powell_r(theta):
+        return jnp.stack([
+            1e4 * theta[0] * theta[1] - 1.0,
+            jnp.exp(-theta[0]) + jnp.exp(-theta[1]) - 1.0001,
+        ])
+
+    def powell_rj(theta):
+        return powell_r(theta), jax.jacfwd(powell_r)(theta)
+
+    theta0 = jnp.asarray([0.0, 1.0])
+    mine = lm_fit(powell_r, powell_rj, theta0, FitConfig(max_iter=200))
+    _, cov_x, info, _, ier = leastsq(
+        lambda th: np.asarray(powell_r(jnp.asarray(th))),
+        np.asarray(theta0),
+        Dfun=lambda th: np.asarray(jax.jacfwd(powell_r)(jnp.asarray(th))),
+        full_output=True)
+    assert ier in (1, 2, 3, 4)
+    np.testing.assert_allclose(np.asarray(mine.cov), cov_x, rtol=5e-3)
+    # sigma = sqrt(diag(cov) * 2 cost/(m-p)): m == p here -> inf by contract
+    assert np.all(np.isinf(np.asarray(mine.param_sigma)))
+
+
+@pytest.mark.slow
+def test_covariance_mm_fit():
+    """Error bars on the MM fit: cov at the optimum matches scipy leastsq's
+    cov_x through the same ODE residuals, and the true parameters lie
+    within a few sigma."""
+    from scipy.optimize import leastsq
+
+    proj, theta_true = _mm_problem()
+    theta0 = theta_true + jnp.asarray([0.3, -0.2, 0.1, -0.1])
+    mine = lm_fit(proj.residuals, proj.residuals_and_jacobian, theta0,
+                  FitConfig(max_iter=60))
+    assert int(mine.status) > 0
+    r_jit = jax.jit(proj.residuals)
+    j_jit = jax.jit(lambda th: proj.residuals_and_jacobian(th)[1])
+    _, cov_x, _, _, ier = leastsq(
+        lambda th: np.asarray(r_jit(jnp.asarray(th))), np.asarray(theta0),
+        Dfun=lambda th: np.asarray(j_jit(jnp.asarray(th))),
+        full_output=True)
+    assert ier in (1, 2, 3, 4)
+    np.testing.assert_allclose(np.asarray(mine.cov), cov_x, rtol=1e-2)
+    sig = np.asarray(mine.param_sigma)
+    assert np.all(np.isfinite(sig)) and np.all(sig > 0)
+    assert np.all(np.abs(np.asarray(mine.theta - theta_true)) < 5 * sig)
+
+
 def test_multistart_compaction_matches_unchunked():
     """Converged members exit the lockstep between chunks (compaction);
     results identical to the plain path member-for-member."""

@@ -48,6 +48,16 @@ class FitResult(NamedTuple):
     # accepted-cost trace per iteration (observability, SURVEY.md §5);
     # entries beyond n_iter hold the final cost
     cost_trace: jax.Array = None
+    # (JᵀJ)⁻¹ at the optimum — the reference's ``cov_x`` from
+    # scipy.optimize.leastsq (scipy/optimize/_minpack_py.py:482-501, there
+    # assembled from the QR factors). Multiply by the residual variance
+    # (see ``param_sigma``) for the parameter covariance. NaN/inf rows
+    # signal a rank-deficient Jacobian (unidentifiable parameters).
+    cov: jax.Array = None
+    # per-parameter 1σ error bars: sqrt(diag(cov) · 2·cost/(m−p)), i.e.
+    # cov_x scaled by the reduced chi-square as scipy.optimize.curve_fit
+    # does with its leastsq cov_x.
+    param_sigma: jax.Array = None
 
     @property
     def success(self):
@@ -102,10 +112,17 @@ def lm_init(
 
 
 def lm_finish(state: _LMState) -> FitResult:
+    J, r = state.J, state.r
+    m, p = J.shape
+    cov = _lu.lu_solve(_lu.lu_factor(J.T @ J), jnp.eye(p, dtype=J.dtype))
+    s_sq = (2.0 * state.cost / (m - p)) if m > p else jnp.asarray(
+        jnp.inf, J.dtype)
+    param_sigma = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0, None) * s_sq)
     return FitResult(
         theta=state.theta, cost=state.cost, grad_norm=state.grad_norm,
         status=state.status, n_iter=state.n_iter, nfev=state.nfev,
-        njev=state.njev, cost_trace=state.cost_trace)
+        njev=state.njev, cost_trace=state.cost_trace,
+        cov=cov, param_sigma=param_sigma)
 
 
 def lm_fit(
