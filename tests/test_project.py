@@ -157,3 +157,75 @@ def test_experiment_axis_sharding():
     r_sh = np.asarray(jax.jit(proj_sh.residuals)(theta))
     # partitioned execution reorders reductions: agreement to fp roundoff
     np.testing.assert_allclose(r_sh, r_ref, rtol=1e-6, atol=1e-9)
+
+
+def _chain2_model():
+    """2-state synthesis/conversion/degradation chain with a closed-form,
+    nondegenerate equilibrium: x* = k1/k2, z* = k1/k3."""
+    from tpusysbio.model.core import OdeModel
+
+    def rhs(t, y, p):
+        del t
+        x, z = y
+        k1, k2, k3 = p
+        return jnp.stack([k1 - k2 * x, k2 * x - k3 * z])
+
+    def y0(p):
+        return jnp.array([0.05, 0.05], p.dtype)
+
+    def observables(y, p):
+        return y
+
+    return OdeModel(name="chain2", n_states=2, n_params=3, n_obs=2,
+                    rhs=rhs, y0=y0, observables=observables,
+                    param_names=("k1", "k2", "k3"))
+
+
+def test_steady_state_measurements_in_project():
+    """Mixed timecourse + steady-state rows (SURVEY.md §2a #3): steady rows
+    route through the algebraic Newton solve with IFT sensitivities, and
+    the assembled Jacobian matches finite differences of the residuals."""
+    model = _chain2_model()
+    p_true = jnp.asarray([0.8, 2.0, 1.0])
+    t = np.array([0.5, 1.0, 2.0])
+    sim = model.simulate(p_true, (0.0, 2.0), jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-10, atol=1e-12))
+    traj = np.asarray(sim.ys)
+    meas = (
+        Measurement(obs_index=0, times=t, values=traj[:, 0],
+                    sigmas=np.full(3, 0.05)),
+        Measurement.at_steady_state(0, 0.41, 0.05),   # x* = 0.4
+        Measurement.at_steady_state(1, 0.79, 0.05),   # z* = 0.8
+    )
+    batch = ExperimentBatch.from_experiments([Experiment("e0", meas)])
+    assert batch.has_steady
+    pmap = ParameterMap.create(model.param_names, 1,
+                               shared=("k1", "k2", "k3"))
+    proj = Project(model=model, pmap=pmap, batch=batch,
+                   config=SolverConfig(rtol=1e-9, atol=1e-11),
+                   ss_t_relax=4.0)
+    theta = pmap.pack({"k1": 0.8, "k2": 2.0, "k3": 1.0})
+
+    r = np.asarray(jax.jit(proj.residuals)(theta))
+    # steady rows sit after the 3 timecourse rows: (y* - data)/sigma
+    np.testing.assert_allclose(r[3], (0.4 - 0.41) / 0.05, rtol=1e-7)
+    np.testing.assert_allclose(r[4], (0.8 - 0.79) / 0.05, rtol=1e-7)
+
+    _, J = jax.jit(proj.residuals_and_jacobian)(theta)
+    res_fn = jax.jit(proj.residuals)
+    eps = 1e-6
+    for g in range(proj.n_theta):
+        d = np.zeros(proj.n_theta)
+        d[g] = eps
+        fd = (np.asarray(res_fn(theta + jnp.asarray(d)))
+              - np.asarray(res_fn(theta - jnp.asarray(d)))) / (2 * eps)
+        scale = 1e-8 + np.max(np.abs(fd))
+        assert np.max(np.abs(np.asarray(J)[:, g] - fd)) / scale < 1e-5
+
+    # analytic IFT check on the steady rows: dx*/dk1 = 1/k2 etc., chained
+    # through the log transform (dp/dtheta = p)
+    Jnp = np.asarray(J)
+    # row 3 is x* = k1/k2: d/dlog k1 = x*, d/dlog k2 = -x*, d/dlog k3 = 0
+    np.testing.assert_allclose(Jnp[3] * 0.05, [0.4, -0.4, 0.0], atol=1e-7)
+    # row 4 is z* = k1/k3
+    np.testing.assert_allclose(Jnp[4] * 0.05, [0.8, 0.0, -0.8], atol=1e-7)

@@ -24,6 +24,19 @@ Nothing here imports from the reference; the TPU compute path is
 JAX/XLA/Pallas throughout (XLA/Mosaic is the native layer on TPU).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from tpusysbio.config import SolverConfig, FitConfig, MeshConfig  # noqa: F401
+import jax as _jax
+
+# TPU MXU f32 matmuls run at bfloat16 precision under JAX's DEFAULT matmul
+# precision — ~3 decimal digits, which silently wrecks the f32 Newton hot
+# loop: measured on MAPK-22 (bench/experiments/mp_debug.py), the
+# mixed-precision screening stepper goes from 100% step-size-underflow
+# failures with ~50% rejected steps to 100% convergence at the CPU step
+# count (and 2.5x faster) once matmuls honor true f32. This is a numerics
+# framework: bf16 contraction is never an acceptable default, and at the
+# n<=128 matrix sizes of this domain the extra MXU passes are noise. f64
+# (emulated) and CPU backends are unaffected by this setting.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from tpusysbio.config import SolverConfig, FitConfig, MeshConfig  # noqa: F401,E402

@@ -14,9 +14,12 @@ padded (E, T)/(E, M) arrays with masks; condition settings/perturbations
 per-experiment fixed values (project/mapping.py), which subsumes the
 reference's settings dicts.
 
-Steady-state measurements are timecourse rows whose time is the horizon
-end (integrate-to-steady-state); a dedicated algebraic steady-state solver
-is a possible later addition.
+Steady-state measurements (reference capability, SURVEY.md §2 #3) are
+first-class: a ``Measurement`` with ``steady_state=True`` contributes rows
+that gather from the experiment's algebraic equilibrium — solved directly
+by ``solvers/steady_state.py`` (damped Newton + implicit-function-theorem
+sensitivities) inside the Project residual path, never by integrating to a
+long horizon.
 """
 
 from __future__ import annotations
@@ -40,6 +43,10 @@ class Measurement:
     # scale-factor group: measurements sharing a group id share one fitted
     # scale factor B (relative data); None -> absolute data (B = 1).
     scale_group: Optional[str] = None
+    # Steady-state rows: the observable is measured at the experiment's
+    # algebraic equilibrium f(y*, p) = 0 rather than at a timepoint;
+    # ``times`` entries are ignored (conventionally 0 or inf).
+    steady_state: bool = False
 
     def __post_init__(self):
         t = np.asarray(self.times, dtype=np.float64)
@@ -50,6 +57,15 @@ class Measurement:
         object.__setattr__(self, "times", t)
         object.__setattr__(self, "values", v)
         object.__setattr__(self, "sigmas", s)
+
+    @staticmethod
+    def at_steady_state(obs_index: int, value: float, sigma: float,
+                        scale_group: Optional[str] = None) -> "Measurement":
+        """Convenience constructor for one equilibrium data point."""
+        return Measurement(obs_index=obs_index, times=np.zeros(1),
+                           values=np.asarray([value]),
+                           sigmas=np.asarray([sigma]),
+                           scale_group=scale_group, steady_state=True)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,7 +84,8 @@ class Experiment:
 
     def all_times(self) -> np.ndarray:
         ts = np.unique(np.concatenate(
-            [m.times for m in self.measurements] + [np.asarray([self.t0])]))
+            [m.times for m in self.measurements if not m.steady_state]
+            + [np.asarray([self.t0])]))
         return ts
 
 
@@ -87,6 +104,8 @@ class ExperimentBatch:
       sigmas:   (E, M)
       group:    (E, M) int32 scale-factor group id, -1 for absolute data
       mask:     (E, M) bool validity (padding rows are False)
+      m_is_ss:  (E, M) bool — row gathers from the algebraic steady state
+                instead of the trajectory (``m_t_idx`` is 0 there)
 
     ``n_groups`` (static) is the number of distinct scale-factor groups
     across the whole batch — scale factors are a *project-level* quantity
@@ -102,9 +121,15 @@ class ExperimentBatch:
     sigmas: jax.Array
     group: jax.Array
     mask: jax.Array
+    m_is_ss: jax.Array
     n_groups: int = dataclasses.field(metadata=dict(static=True))
     group_names: Tuple[str, ...] = dataclasses.field(
         metadata=dict(static=True), default=())
+    # Static: whether ANY row is a steady-state row — gates the algebraic
+    # equilibrium solve in the Project (zero cost for pure-timecourse
+    # batches).
+    has_steady: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def n_experiments(self) -> int:
@@ -142,6 +167,7 @@ class ExperimentBatch:
         sigmas = np.ones((E, M))
         group = np.full((E, M), -1, dtype=np.int32)
         mask = np.zeros((E, M), dtype=bool)
+        m_is_ss = np.zeros((E, M), dtype=bool)
 
         for e_i, exp in enumerate(experiments):
             g = grids[e_i]
@@ -158,9 +184,13 @@ class ExperimentBatch:
                         group_names.append(meas.scale_group)
                     gid = group_names.index(meas.scale_group)
                 for t, v, s in zip(meas.times, meas.values, meas.sigmas):
-                    t_idx = int(np.searchsorted(g, t))
-                    assert g[t_idx] == t
-                    m_t_idx[e_i, j] = t_idx
+                    if meas.steady_state:
+                        m_t_idx[e_i, j] = 0
+                        m_is_ss[e_i, j] = True
+                    else:
+                        t_idx = int(np.searchsorted(g, t))
+                        assert g[t_idx] == t
+                        m_t_idx[e_i, j] = t_idx
                     m_obs[e_i, j] = meas.obs_index
                     values[e_i, j] = v
                     sigmas[e_i, j] = s
@@ -175,4 +205,6 @@ class ExperimentBatch:
             values=jnp.asarray(values, dtype),
             sigmas=jnp.asarray(sigmas, dtype),
             group=jnp.asarray(group), mask=jnp.asarray(mask),
-            n_groups=len(group_names), group_names=tuple(group_names))
+            m_is_ss=jnp.asarray(m_is_ss),
+            n_groups=len(group_names), group_names=tuple(group_names),
+            has_steady=bool(m_is_ss.any()))

@@ -8,7 +8,11 @@ Pipeline (all inside one jit, vmapped over experiments):
    experiment's model parameters ride one column-block BDF solve
    (solvers/bdf.py), dense output at the experiment's measurement grid,
 3. observables + their parameter sensitivities via ``jax.jvp`` chain rule,
-4. gather at measurement (time, observable) indices — one static gather,
+4. gather at measurement (time, observable) indices — one static gather;
+   steady-state rows (``Measurement(steady_state=True)``) gather instead
+   from the experiment's algebraic equilibrium, solved by damped Newton
+   with implicit-function-theorem sensitivities
+   (solvers/steady_state.py) — never by integrating to a long horizon,
 5. project-level scale factors B per measurement group with analytic dB/dθ
    (scale_factors.py),
 6. residuals ``mask · (B·sim − data)/σ`` and Jacobian
@@ -70,6 +74,11 @@ class Project:
     # different chips; the scale-factor segment sums become the only
     # cross-chip collectives, inserted automatically by XLA.
     experiment_mesh: Optional[object] = None
+    # Steady-state rows: coarse relaxation horizon seeding the equilibrium
+    # Newton solve (solvers/steady_state.py); used only when the batch has
+    # ``steady_state=True`` measurements.
+    ss_t_relax: float = 10.0
+    ss_max_newton: int = 25
 
     @property
     def n_residuals(self) -> int:
@@ -130,7 +139,35 @@ class Project:
             obs_sens = jax.vmap(per_t)(res.ys, res.sens)  # (T, n_obs, P)
         else:
             obs_sens = None
-        return obs_traj, obs_sens, res.status, res.nsteps
+
+        status = res.status
+        if self.batch.has_steady:
+            from tpusysbio.solvers.common import STATUS_SS_FAIL
+            from tpusysbio.solvers.steady_state import steady_state
+
+            ss = steady_state(
+                model.rhs, p_e, y0, config=self.config,
+                t_relax=self.ss_t_relax, max_newton=self.ss_max_newton,
+                with_sens=with_sens, jac_fn=model.rhs_jac)
+            obs_ss = model.observables(ss.y, p_e)  # (n_obs,)
+            if with_sens:
+                P = p_e.shape[0]
+                eye = jnp.eye(P, dtype=p_e.dtype)
+
+                def obs_ss_dcol(s_col, e_col):
+                    return jax.jvp(
+                        lambda yy, pp: model.observables(yy, pp),
+                        (ss.y, p_e), (s_col, e_col))[1]
+
+                obs_ss_sens = jax.vmap(obs_ss_dcol, in_axes=(1, 0),
+                                       out_axes=1)(ss.sens, eye)
+            else:
+                obs_ss_sens = None
+            status = jnp.where(ss.converged, status, STATUS_SS_FAIL)
+        else:
+            obs_ss, obs_ss_sens = None, None
+        return (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
+                res.nsteps)
 
     # ------------------------------------------------------------------
     def _gathered(self, theta, with_jac: bool):
@@ -145,20 +182,29 @@ class Project:
 
         sim_fn = lambda p_e, t0, t_end, t_eval: self._sim_one(  # noqa: E731
             p_e, t0, t_end, t_eval, with_sens=with_jac)
-        obs_traj, obs_sens, status, nsteps = jax.vmap(sim_fn)(
-            p_all, b.t0, b.t_end, b.t_eval)
+        (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
+         nsteps) = jax.vmap(sim_fn)(p_all, b.t0, b.t_end, b.t_eval)
 
-        # gather at measurement (time, observable) indices, per experiment
+        # gather at measurement (time, observable) indices, per experiment;
+        # steady-state rows gather from the equilibrium observables instead
         def gather(traj, t_idx, o_idx):
             return traj[t_idx, o_idx]
 
         sim = jax.vmap(gather)(obs_traj, b.m_t_idx, b.m_obs)  # (E, M)
+        if b.has_steady:
+            sim_ss = jax.vmap(lambda o_ss, o_idx: o_ss[o_idx])(
+                obs_ss, b.m_obs)
+            sim = jnp.where(b.m_is_ss, sim_ss, sim)
 
         if with_jac:
             def gather_s(traj_s, t_idx, o_idx):
                 return traj_s[t_idx, o_idx, :]  # (M, P)
 
             dsim_p = jax.vmap(gather_s)(obs_sens, b.m_t_idx, b.m_obs)
+            if b.has_steady:
+                dsim_ss = jax.vmap(lambda s_ss, o_idx: s_ss[o_idx, :])(
+                    obs_ss_sens, b.m_obs)
+                dsim_p = jnp.where(b.m_is_ss[:, :, None], dsim_ss, dsim_p)
             # chain to θ (log transform folded in): (E, M, P) @ (E, P, G)
             chain = self.pmap.chain(theta)
             dsim = jnp.einsum("emp,epg->emg", dsim_p, chain)

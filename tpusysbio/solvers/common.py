@@ -24,6 +24,7 @@ STATUS_DONE = 1
 STATUS_TOO_SMALL_STEP = 2   # h underflowed machine spacing (bdf.py:340-341 analogue)
 STATUS_NONFINITE = 3        # RHS produced non-finite values (bdf.py:44-45 analogue)
 STATUS_MAX_STEPS = 4        # step budget exhausted (lockstep safety net)
+STATUS_SS_FAIL = 5          # algebraic steady-state Newton did not converge
 
 
 def rms_norm(x: jax.Array) -> jax.Array:

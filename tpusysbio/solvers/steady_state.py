@@ -50,11 +50,14 @@ def steady_state(
     max_newton: int = 25,
     tol: float = 1e-10,
     with_sens: bool = False,
+    jac_fn: Callable = None,
 ) -> SteadyStateResult:
     """Find y* with f(y*, p) = 0 near the attractor of y0.
 
     ``t_relax``: coarse pre-integration horizon that moves y0 into the
     Newton basin (rtol 1e-3 BDF pass). Set 0.0 to skip.
+    ``jac_fn``: optional closed-form state Jacobian ``(t, y, p) -> (n, n)``
+    (the mass-action fast path); forward-mode AD otherwise.
     """
     dtype = y0.dtype
     n = y0.shape[0]
@@ -62,15 +65,21 @@ def steady_state(
     def f(y):
         return rhs(jnp.zeros((), dtype), y, p)
 
-    def jac(y):
-        return jax.jacfwd(f)(y)
+    if jac_fn is None:
+        def jac(y):
+            return jax.jacfwd(f)(y)
+    else:
+        def jac(y):
+            return jac_fn(jnp.zeros((), dtype), y, p)
 
     if t_relax > 0.0:
         coarse = SolverConfig(rtol=1e-3, atol=1e-6,
                               max_steps=config.max_steps,
                               linear_solver=config.linear_solver)
         res = bdf_solve(lambda t, y: rhs(t, y, p), (0.0, t_relax), y0,
-                        jnp.asarray([t_relax], dtype), config=coarse)
+                        jnp.asarray([t_relax], dtype), config=coarse,
+                        jac=(None if jac_fn is None
+                             else (lambda t, y: jac_fn(t, y, p))))
         y_start = res.ys[0]
     else:
         y_start = y0
