@@ -35,9 +35,9 @@ from tpusysbio.model import library  # noqa: E402
 from tpusysbio.sens import make_sens_rhs  # noqa: E402
 from tpusysbio import solvers  # noqa: E402
 
-BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "128"))
+BATCH = int(os.environ.get("TPUSYSBIO_BENCH_BATCH", "256"))
 REPEATS = int(os.environ.get("TPUSYSBIO_BENCH_REPEATS", "3"))
-SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "inv32")
+SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "pallas")
 SENS_PREC = os.environ.get("TPUSYSBIO_BENCH_SENS_PREC", "f32")
 STEPPER = os.environ.get("TPUSYSBIO_BENCH_STEPPER", "bdf")
 T_SPAN = (0.0, 100.0)

@@ -17,7 +17,7 @@ def main(trace_dir):
         return 1
     from xprof.convert import raw_to_tool_data as r2t
 
-    names, _ = r2t.xspace_to_tool_names(paths[-1:])
+    names = r2t.xspace_to_tool_names(paths[-1:])
     print("tools:", names)
     for tool in ("hlo_stats", "framework_op_stats", "op_profile"):
         if tool not in str(names):

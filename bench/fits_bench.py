@@ -54,9 +54,11 @@ def build_problem():
              for n in model.param_names if n not in free}
     pmap = ParameterMap.create(model.param_names, 1, shared=tuple(free),
                                fixed=fixed)
+    solver = os.environ.get("TPUSYSBIO_FITS_SOLVER", "inv32")
     proj = Project(model=model, pmap=pmap, batch=batch,
                    config=SolverConfig(rtol=1e-6, atol=1e-9, max_steps=768,
-                                       linear_solver="inv32", sens_precision="f32"))
+                                       linear_solver=solver,
+                                       sens_precision="f32"))
     theta_true = pmap.pack(
         {n: p_true[model.param_names.index(n)] for n in free})
     return proj, theta_true

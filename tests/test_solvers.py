@@ -40,6 +40,23 @@ def test_mm3_trajectory(golden, solver, tol):
     assert _relerr(np.asarray(res.ys), g["ys"]) < tol
 
 
+@pytest.mark.parametrize("rtol,atol,tol", [
+    (1e-6, 1e-9, 3e-4),    # local error control: global err ~ 100x rtol
+    (1e-8, 1e-11, 1e-6),   # tightened BDF hits the 1e-6 reference bar
+])
+def test_mm3_bdf_tolerance_tiers(golden, rtol, atol, tol):
+    """Tolerance-tiered accuracy (BASELINE.json:5): the global trajectory
+    error tracks the local-error budget; rtol=1e-8 delivers <=1e-6."""
+    g = golden("mm3")
+    model = library.michaelis_menten()
+    p = jnp.asarray(g["p"])
+    cfg = SolverConfig(rtol=rtol, atol=atol)
+    res = bdf_solve(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                    model.y0(p), jnp.asarray(g["t_eval"]), config=cfg)
+    assert int(res.status) == STATUS_DONE
+    assert _relerr(np.asarray(res.ys), g["ys"]) < tol
+
+
 def test_repressilator_bdf(golden):
     g = golden("repressilator")
     model = library.repressilator()
@@ -65,6 +82,23 @@ def test_mapk22_stiff_bdf(golden):
     # stiffness regression: SciPy BDF does this in ~240 steps; a loss of
     # stiff stability explodes the count (SURVEY.md §4 item 6)
     assert int(res.nsteps) < 600
+
+
+@pytest.mark.slow
+def test_mapk22_bdf_tight_hits_1e6(golden):
+    """Tightened BDF (rtol=1e-8) reaches the 1e-6 reference-accuracy bar
+    on the stiff config (BASELINE.json:5); Radau does it at rtol=1e-6
+    (test_radau_mapk22_stiff)."""
+    g = golden("mapk22")
+    model = library.mapk_huang_ferrell()
+    p = jnp.asarray(g["p"])
+    cfg = SolverConfig(rtol=1e-8, atol=1e-11, max_steps=4096)
+    res = bdf_solve(lambda t, y: model.rhs(t, y, p), tuple(g["t_span"]),
+                    model.y0(p), jnp.asarray(g["t_eval"]), config=cfg)
+    assert int(res.status) == STATUS_DONE
+    err = np.max(np.abs(np.asarray(res.ys) - g["ys"])) / np.max(
+        np.abs(g["ys"]))
+    assert err < 1e-6
 
 
 def test_t_eval_endpoints():

@@ -40,8 +40,14 @@ class MultistartResult(NamedTuple):
     theta0: jax.Array      # (N, G) the starts
 
     def ranked(self) -> "MultistartResult":
-        """Sort by cost; invalid members (status<=0 or non-finite) last."""
-        bad = (self.status <= 0) | ~jnp.isfinite(self.cost)
+        """Sort by cost; invalid members (failed init / non-finite) last.
+
+        ``status == 0`` (iteration cap) members rank by their achieved
+        cost: a capped fit's cost is real — screening phases stop ALL
+        members at a small iteration budget, and the whole point of
+        ranking is to pick the best basins among them.
+        """
+        bad = (self.status < 0) | ~jnp.isfinite(self.cost)
         key = jnp.where(bad, jnp.inf, self.cost)
         order = jnp.argsort(key)
         return MultistartResult(*(x[order] for x in self))
@@ -135,6 +141,46 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
     return run
 
 
+def make_multistart_runner(
+    residual_fn: Callable,
+    residual_and_jac_fn: Callable,
+    config: FitConfig = FitConfig(),
+    mesh: Optional[Mesh] = None,
+    iter_chunk: Optional[int] = None,
+    compact: bool = False,
+) -> Callable:
+    """Build a REUSABLE batch-fit callable with persistent jit caches.
+
+    ``multistart_fit`` constructs fresh ``jax.jit`` wrappers per call, so
+    repeated invocations re-trace (and round-trip the compile cache) every
+    time — measured at tens of seconds per phase on the remote-AOT TPU
+    runtime. Production drivers and benchmarks should build ONE runner per
+    (objective, config) and call it repeatedly; only a changed batch shape
+    triggers a new compile.
+    """
+    if iter_chunk:
+        run = _chunked_fit_fn(residual_fn, residual_and_jac_fn, config,
+                              iter_chunk, mesh, compact)
+    else:
+        fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config)
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            sharded = jax.shard_map(
+                fit_batch, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                check_vma=False)
+            run = jax.jit(sharded)
+        else:
+            run = jax.jit(fit_batch)
+
+    def runner(theta0s):
+        fr = run(theta0s)
+        return MultistartResult(theta=fr.theta, cost=fr.cost,
+                                grad_norm=fr.grad_norm, status=fr.status,
+                                n_iter=fr.n_iter, theta0=theta0s)
+
+    return runner
+
+
 def multistart_fit(
     residual_fn: Callable,
     residual_and_jac_fn: Callable,
@@ -160,32 +206,16 @@ def multistart_fit(
     smaller batches — pays off for long-tailed convergence (each new batch
     size compiles once); measured counterproductive for short tails.
     """
-    if iter_chunk:
-        fit_batch = _chunked_fit_fn(residual_fn, residual_and_jac_fn,
-                                    config, iter_chunk, mesh, compact)
-    else:
-        fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config)
-
-    if iter_chunk:
-        run = fit_batch  # host-level chunk loop, jits inside
-    elif mesh is not None:
-        axis = mesh.axis_names[0]
-        # check_vma=False: the fit is collective-free per member, but its
-        # loop carries start from replicated constants, which trips the
-        # varying-manual-axes static check inside lax loops.
-        sharded = jax.shard_map(
-            fit_batch, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-            check_vma=False)
-        run = jax.jit(sharded)
-    else:
-        run = jax.jit(fit_batch)
+    # check_vma=False in the mesh path: the fit is collective-free per
+    # member, but its loop carries start from replicated constants, which
+    # trips the varying-manual-axes static check inside lax loops.
+    run = make_multistart_runner(residual_fn, residual_and_jac_fn, config,
+                                 mesh=mesh, iter_chunk=iter_chunk,
+                                 compact=compact)
 
     N = theta0s.shape[0]
     if chunk_size is None or chunk_size >= N:
-        fr = run(theta0s)
-        return MultistartResult(theta=fr.theta, cost=fr.cost,
-                                grad_norm=fr.grad_norm, status=fr.status,
-                                n_iter=fr.n_iter, theta0=theta0s)
+        return run(theta0s)
 
     # ---- chunked with checkpoint/resume --------------------------------
     if N % chunk_size:
@@ -247,7 +277,9 @@ def multistart_two_phase(
                             screen_config, mesh=mesh, iter_chunk=iter_chunk)
     ranked = screen.ranked()
     top = ranked.theta[:top_k]
+    polish_mesh = (mesh if mesh is not None
+                   and top_k % mesh.devices.size == 0 else None)
     polish = multistart_fit(polish_fns[0], polish_fns[1], top,
-                            polish_config, mesh=None,
+                            polish_config, mesh=polish_mesh,
                             iter_chunk=iter_chunk)
     return polish, screen

@@ -1,29 +1,43 @@
-"""Pallas TPU kernel: VMEM-resident batched matrix inverse for Newton solves.
+"""Pallas TPU kernel: VMEM-resident BATCHED matrix inverse for Newton solves.
 
-Strategy (SURVEY.md §7 M7 + hard part 3): the TPU has no native f64 vector
-unit, so the kernel runs Gauss–Jordan with partial pivoting in f32 entirely
-in VMEM (one (N, 2N) augmented buffer, N sequential rank-1 updates on the
-VPU, zero HBM roundtrips), then the caller applies one-two Newton–Schulz
-refinement steps in (emulated) f64 outside the kernel::
+Why this kernel exists (round-2 profile, docs/PERFORMANCE.md): under
+``vmap``, ``lax.cond(lu_valid, reuse, factor)`` lowers to a select, so the
+O(n³) factorization runs on EVERY while-loop iteration of the vmapped BDF
+ensemble. The pure-JAX pivoted elimination (linalg/lu.py) is n sequential
+``fori_loop`` steps of small dynamic-update-slice / compare-select ops —
+measured at 75-85%% of total device time (hlo_stats: 38.5%% DUS + 32.4%%
+loop fusion on f32[128,22,22] tiles, VMEM-bound). This kernel runs
+Gauss-Jordan with partial pivoting for the WHOLE ensemble inside one
+``pallas_call``: the augmented (B, n, 2n) block lives in VMEM/vregs, the n
+pivot steps are in-kernel (no per-op dispatch, no HBM roundtrips), and each
+step is a wide (B×n×2n) VPU operation.
+
+Pivot selection without data-dependent gathers (Mosaic-friendly): the
+pivot row is extracted with a one-hot reduction — ``rowp = Σ_r A[b,r,:] ·
+is_p[b,r]`` — where ``is_p`` marks the first row attaining the column
+maximum below the diagonal. Zero pivots are replaced by a tiny signed
+epsilon (singular ⇒ garbage-but-finite, per the failure-detection
+contract, SURVEY.md §5).
+
+The kernel is f32 (Mosaic has no f64); the caller lifts to ~1e-13 with
+Newton-Schulz refinement in the input dtype::
 
     X ← X + X (I − A X)
 
-which lifts the f32 inverse (~1e-7) to ~1e-13 — accurate enough for BDF
-Newton *corrections* at rtol=1e-6 while keeping the O(n³) inner work in
-fast f32. This replaces LAPACK ``getrf/getrs``
-(``scipy/integrate/_ivp/bdf.py:231-236``) the TPU-native way.
+This replaces LAPACK ``getrf/getrs`` (``scipy/integrate/_ivp/bdf.py:
+231-236``) the TPU-native way (SURVEY.md §2b LAPACK row, §7 M7).
 
-Matrices are zero-padded into an identity block of size ``PAD`` (multiple
-of 128 lanes; block-diagonal ⇒ the top-left block of the padded inverse is
-the answer). ``vmap`` over a batch maps to a Pallas grid dimension.
+``jax.custom_batching.custom_vmap`` collapses any stack of vmap axes into
+the kernel's batch dimension, so the stepper's ensemble vmap maps to ONE
+kernel with a wide batch — never a sequential grid of single-matrix calls.
 
-Falls back to interpreter mode automatically on CPU (tests), compiled
-Mosaic on TPU.
+Falls back to interpreter mode automatically off-TPU (CPU tests).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,82 +45,227 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANE = 128
+_MAX_BLOCK = 128   # matrices per kernel block
+# Kernel layout: 'minor' (batch on the 128-lane dim, fully packed — the
+# fast path) or 'major' (batch leading). Env-switchable for debugging
+# runtime issues that only reproduce inside large fused programs.
+_LAYOUT = os.environ.get("TPUSYSBIO_GJ_LAYOUT", "minor")
 
 
-def _pad_size(n: int) -> int:
-    return max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
+def _gj_batch_major_kernel(a_ref, out_ref):
+    """Batch-major (B, n, n) variant of the Gauss-Jordan kernel."""
+    B, n = a_ref.shape[0], a_ref.shape[1]
+    dt = a_ref.dtype
+    row = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    eye = (lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(dt)
+    A0 = a_ref[:]
+    X0 = jnp.broadcast_to(eye[None], (B, n, n))
 
+    def body(k, carry):
+        A, X = carry
+        col_k = (lane == k).astype(dt)                          # (1, 1, n)
+        colk = jnp.sum(A * col_k, axis=2, keepdims=True)        # (B, n, 1)
+        below = row >= k
+        abscol = jnp.where(below, jnp.abs(colk), -jnp.ones((), dt))
+        mx = jnp.max(abscol, axis=1, keepdims=True)             # (B, 1, 1)
+        hit = (abscol == mx) & below
+        p_idx = jnp.min(jnp.where(hit, row, jnp.int32(n)), axis=1,
+                        keepdims=True)                          # (B, 1, 1)
+        is_p = row == p_idx
+        is_k = row == k
+        fp = is_p.astype(dt)
+        fk = is_k.astype(dt)
 
-def _gj_kernel(a_ref, out_ref, aug):
-    """Gauss-Jordan with partial pivoting on [A | I] in VMEM scratch."""
-    N = a_ref.shape[0]
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1))
-    aug[:, :N] = a_ref[:]
-    aug[:, N:] = eye.astype(a_ref.dtype)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        def swap_elim(M):
+            rowp = jnp.sum(M * fp, axis=1, keepdims=True)       # (B, 1, n)
+            rowk = jnp.sum(M * fk, axis=1, keepdims=True)
+            return jnp.where(is_k, rowp, jnp.where(is_p, rowk, M)), rowp
 
-    def body(k, _):
-        A = aug[:]
-        colk = lax.dynamic_slice(A, (0, k), (N, 1))[:, 0]
-        # pivot among rows >= k
-        abscol = jnp.where(row_ids[:, 0] >= k, jnp.abs(colk), -1.0)
-        p = jnp.argmax(abscol).astype(jnp.int32)
-        rowk = lax.dynamic_slice_in_dim(A, k, 1, axis=0)   # (1, 2N)
-        rowp = lax.dynamic_slice_in_dim(A, p, 1, axis=0)
-        is_k = row_ids == k
-        is_p = row_ids == p
-        A2 = jnp.where(is_k, rowp, jnp.where(is_p, rowk, A))
-        pivot = lax.dynamic_slice(rowp, (0, k), (1, 1))[0, 0]
-        tiny = jnp.asarray(1e-30, A.dtype)
+        A, rowpA = swap_elim(A)
+        X, rowpX = swap_elim(X)
+        pivot = jnp.sum(rowpA * col_k, axis=2, keepdims=True)   # (B, 1, 1)
+        tiny = jnp.asarray(1e-30, dt)
         pivot = jnp.where(jnp.abs(pivot) > tiny, pivot,
                           jnp.where(pivot >= 0, tiny, -tiny))
-        norm_row = rowp / pivot           # (1, 2N)
-        col2 = lax.dynamic_slice(A2, (0, k), (N, 1))  # (N, 1)
-        factor = jnp.where(is_k, 0.0, col2)
-        A3 = A2 - factor * norm_row
-        aug[:] = jnp.where(is_k, norm_row, A3)
-        return 0
+        normA = rowpA / pivot
+        normX = rowpX / pivot
+        colk2 = jnp.sum(A * col_k, axis=2, keepdims=True)
+        factor = jnp.where(is_k, jnp.zeros((), dt), colk2)
+        A = jnp.where(is_k, normA, A - factor * normA)
+        X = jnp.where(is_k, normX, X - factor * normX)
+        return A, X
 
-    lax.fori_loop(0, N, body, 0)
-    out_ref[:] = aug[:, N:]
+    _, X = lax.fori_loop(jnp.int32(0), jnp.int32(n), body, (A0, X0))
+    out_ref[:] = X
+
+
+def _gj_batched_kernel(a_ref, out_ref):
+    """Gauss-Jordan with partial pivoting, batched, VMEM-resident.
+
+    Layout is BATCH-MINOR: buffers are (n, n, B) so the batch rides the
+    128-wide lane dimension fully packed (profiling showed the previous
+    batch-major (B, n, n) form wasted 1 - n/128 of every vector op on
+    lane padding). Two buffers (A, X=I) are updated in tandem — X becomes
+    A⁻¹. Mosaic has no dynamic_slice on values, so every "pick row/column
+    k" is a one-hot mask + reduction over the row/column axes.
+    """
+    n, B = a_ref.shape[0], a_ref.shape[2]
+    dt = a_ref.dtype
+    row = lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    col = lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    A0 = a_ref[:]
+    X0 = jnp.broadcast_to((row == col).astype(dt), (n, n, B))
+
+    def body(k, carry):
+        A, X = carry
+        col_k = (col == k).astype(dt)                           # (1, n, 1)
+        colk = jnp.sum(A * col_k, axis=1, keepdims=True)        # (n, 1, B)
+        below = row >= k
+        abscol = jnp.where(below, jnp.abs(colk), -jnp.ones((), dt))
+        mx = jnp.max(abscol, axis=0, keepdims=True)             # (1, 1, B)
+        hit = (abscol == mx) & below
+        # first row attaining the max (min-index tie-break; Mosaic has no
+        # cumsum)
+        p_idx = jnp.min(jnp.where(hit, row, jnp.int32(n)), axis=0,
+                        keepdims=True)                          # (1, 1, B)
+        is_p = row == p_idx                                     # (n, 1, B)
+        is_k = row == k                                         # (n, 1, 1)
+        fp = is_p.astype(dt)
+        fk = is_k.astype(dt)
+
+        def swap_elim(M):
+            rowp = jnp.sum(M * fp, axis=0, keepdims=True)       # (1, n, B)
+            rowk = jnp.sum(M * fk, axis=0, keepdims=True)
+            return jnp.where(is_k, rowp, jnp.where(is_p, rowk, M)), rowp
+
+        A, rowpA = swap_elim(A)
+        X, rowpX = swap_elim(X)
+        pivot = jnp.sum(rowpA * col_k, axis=1, keepdims=True)   # (1, 1, B)
+        tiny = jnp.asarray(1e-30, dt)
+        pivot = jnp.where(jnp.abs(pivot) > tiny, pivot,
+                          jnp.where(pivot >= 0, tiny, -tiny))
+        normA = rowpA / pivot
+        normX = rowpX / pivot
+        colk2 = jnp.sum(A * col_k, axis=1, keepdims=True)       # (n, 1, B)
+        factor = jnp.where(is_k, jnp.zeros((), dt), colk2)
+        A = jnp.where(is_k, normA, A - factor * normA)
+        X = jnp.where(is_k, normX, X - factor * normX)
+        return A, X
+
+    # int32 bounds: under x64 a Python-int bound makes the induction var
+    # int64, whose conversions Mosaic cannot lower (infinite recursion in
+    # _convert_helper)
+    _, X = lax.fori_loop(jnp.int32(0), jnp.int32(n), body, (A0, X0))
+    out_ref[:] = X
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _gj_inverse_padded(a_pad: jax.Array, interpret: bool = False):
-    N = a_pad.shape[-1]
-    return pl.pallas_call(
-        _gj_kernel,
-        out_shape=jax.ShapeDtypeStruct(a_pad.shape, a_pad.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((N, 2 * N), a_pad.dtype)],
+def _gj_inverse_f32(a: jax.Array, interpret: bool = False) -> jax.Array:
+    """f32 batched inverse of ``a`` (B, n, n) via one pallas_call.
+
+    The kernel runs batch-minor (n, n, B) blocks; the transposes in/out
+    are cheap XLA copies next to the in-kernel work they unlock."""
+    B, n = a.shape[0], a.shape[-1]
+    block = min(_MAX_BLOCK, max(128, B))
+    if B % block:
+        pad = block - B % block
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(jnp.eye(n, dtype=a.dtype)[None],
+                                 (pad, n, n))], axis=0)
+    Bp = a.shape[0]
+
+    # index_map constants must be int32 AND created inside the map fn
+    # (no captured tracers): under x64 a Python-int block index becomes
+    # i64, which Mosaic cannot return from the map function
+    def _imap_major(i):
+        return (i, jnp.int32(0), jnp.int32(0))
+
+    def _imap_minor(i):
+        return (jnp.int32(0), jnp.int32(0), i)
+
+    if _LAYOUT == "major":
+        out = pl.pallas_call(
+            _gj_batch_major_kernel,
+            out_shape=jax.ShapeDtypeStruct((Bp, n, n), a.dtype),
+            grid=(Bp // block,),
+            in_specs=[pl.BlockSpec((block, n, n), _imap_major,
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((block, n, n), _imap_major,
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(a)
+        return out[:B]
+
+    at = jnp.transpose(a, (1, 2, 0))  # (n, n, Bp) batch-minor
+    out = pl.pallas_call(
+        _gj_batched_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n, Bp), a.dtype),
+        grid=(Bp // block,),
+        in_specs=[pl.BlockSpec((n, n, block), _imap_minor,
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, block), _imap_minor,
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(a_pad)
+    )(at)
+    return jnp.transpose(out, (2, 0, 1))[:B]
 
 
-def inverse(a: jax.Array, refine_steps: int = 2,
-            interpret: bool | None = None) -> jax.Array:
-    """Inverse of (n, n) ``a``; f32 Pallas kernel + f64 refinement.
-
-    Output dtype matches the input. Under ``vmap`` the kernel batches over
-    a grid. ``interpret`` defaults to True off-TPU (tests on CPU).
-    """
+def _inverse_impl(a: jax.Array, refine_steps: int,
+                  interpret: bool | None) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = a.shape[-1]
-    N = _pad_size(n)
-    eyeN = jnp.eye(N, dtype=jnp.float32)
-    a32 = a.astype(jnp.float32)
-    a_pad = eyeN.at[:n, :n].set(a32)
-    x_pad = _gj_inverse_padded(a_pad, interpret=interpret)
-    x = x_pad[:n, :n].astype(a.dtype)
+    lead = a.shape[:-2]
+    B = 1
+    for d in lead:
+        B *= d
+    ab = a.reshape((B, n, n))
+    x = _gj_inverse_f32(ab.astype(jnp.float32),
+                        interpret=interpret).astype(a.dtype)
     if refine_steps:
         eye = jnp.eye(n, dtype=a.dtype)
 
         def refine(_, x):
-            return x + x @ (eye - a @ x)
+            return x + x @ (eye - ab @ x)
 
         x = lax.fori_loop(0, refine_steps, refine, x)
-    return x
+    return x.reshape(a.shape)
+
+
+def _make_inverse(refine_steps: int):
+    @jax.custom_batching.custom_vmap
+    def inv(a):
+        return _inverse_impl(a, refine_steps, None)
+
+    @inv.def_vmap
+    def _inv_vmap(axis_size, in_batched, a):
+        # Re-enter the custom_vmap function (NOT the impl): under NESTED
+        # vmaps (fit: vmap over starts ∘ vmap over experiments) each vmap
+        # level must keep collapsing into the kernel batch. Calling the
+        # impl here froze the innermost (size-1 experiment) batch and let
+        # the outer starts-vmap fall back to default pallas batching —
+        # profiled as a kernel input of [512, 22, 22, 128] with 127 of
+        # 128 matrices identity padding per start (128x wasted work).
+        del axis_size, in_batched
+        return inv(a), True
+
+    return inv
+
+
+# refine-step variants (custom_vmap functions take array args only)
+_INV_F64 = _make_inverse(2)   # f32 kernel + 2 Newton-Schulz -> ~1e-13
+_INV_F32 = _make_inverse(1)   # f32 kernel + 1 f32 polish
+
+
+def inverse(a: jax.Array, interpret: bool | None = None) -> jax.Array:
+    """Inverse of ``a`` (..., n, n); f32 Pallas kernel + refinement in the
+    input dtype (2 Newton-Schulz steps for f64, 1 for f32). Any stack of
+    ``vmap`` axes collapses into the kernel batch via ``custom_vmap``.
+
+    ``interpret`` is resolved inside the impl (True off-TPU)."""
+    del interpret  # resolved at trace time inside the impl
+    if a.dtype == jnp.float32:
+        return _INV_F32(a)
+    return _INV_F64(a)

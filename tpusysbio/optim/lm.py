@@ -236,6 +236,15 @@ def lm_run(
         # termination (scipy/optimize/_lsq/common.py:705 semantics)
         dcost = st.cost - cost_t
         ftol_hit = accept & (dcost < config.ftol * st.cost)
+        # MINPACK info=1 semantics (lmder): stop when BOTH the actual and
+        # the PREDICTED relative reduction are below ftol with a sane gain
+        # ratio — evaluated even on rejected trials, so a fit in a flat
+        # valley terminates where the reference's leastsq does instead of
+        # crawling until max_iter (scipy/optimize/_minpack_py.py ier=1).
+        flat_hit = (finite_t
+                    & (jnp.abs(dcost) <= config.ftol * st.cost)
+                    & (pred <= config.ftol * st.cost)
+                    & (rho <= 2.0))
         xtol_hit = accept & (
             jnp.linalg.norm(step)
             < config.xtol * (config.xtol + jnp.linalg.norm(st.theta)))
@@ -245,7 +254,7 @@ def lm_run(
 
         status = jnp.where(
             gtol_hit, 1,
-            jnp.where(ftol_hit, 2,
+            jnp.where(ftol_hit | flat_hit, 2,
                       jnp.where(xtol_hit | stuck, 3, 0))).astype(jnp.int32)
         done = status > 0
 

@@ -4,18 +4,27 @@ The reference's default integrator is ODEPACK LSODA — Adams↔BDF switching
 per step on stiffness heuristics (SURVEY.md §2a #8). Per-step method
 switching is a poor fit for one jitted TPU program (two live method states
 in lockstep, data-dependent branching on every step), so the TPU-native
-``auto`` strategy switches at *segment* granularity:
+``auto`` strategy switches at *segment* granularity with a WARM HANDOFF:
 
-1. attempt the whole integration with the explicit RK45 under a step
-   budget (non-stiff problems finish cheaply — no Jacobians, no solves);
-2. if the budget is exhausted or the step size underflows (the stiffness
-   signal), rerun with the BDF stepper.
+1. integrate with the explicit RK45, which aborts with ``STATUS_STIFF``
+   the moment its controlled step size implies the remaining interval
+   cannot finish within the step budget (the stiffness detector —
+   cheap: no Jacobians, no solves);
+2. the BDF stepper CONTINUES from the explicit phase's final ``(t, y, S)``
+   — never restarting at t0 — and the dense outputs are stitched.
 
-Both attempts live inside one jit under ``lax.cond``. Caveat for vmapped
-ensembles: ``cond`` lowers to ``select`` under ``vmap``, so a batch pays
-for both methods whenever any member is stiff — for ensembles of a KNOWN
-model pick ``bdf``/``radau`` explicitly; ``auto`` is for interactive use
-on unknown models, which is exactly where the reference used LSODA.
+For a problem that transitions nonstiff→stiff this costs ≈ the explicit
+steps over the nonstiff prefix + implicit steps over the stiff suffix,
+which is what per-step LSODA switching achieves on the same problem
+(measured head-to-head in tests/test_auto.py and PARITY.md #8); unlike
+LSODA there is no per-step mode branching, so the program stays a lean
+lockstep kernel.
+
+Vmapped ensembles: ``lax.cond`` lowers to running both branches, but the
+BDF branch starts at each member's own handoff point — members that
+finished explicitly contribute a single degenerate BDF step, so a batch
+pays (RK45 union) + (BDF union over the stiff members' suffixes), not two
+full integrations.
 """
 
 from __future__ import annotations
@@ -23,7 +32,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
-import jax
+import jax.numpy as jnp
 from jax import lax
 
 from tpusysbio.config import SolverConfig
@@ -43,22 +52,48 @@ def auto_solve(
     jac: Optional[Callable] = None,
     nonstiff_budget: Optional[int] = None,
 ) -> IntegrateResult:
-    """LSODA-role integration: cheap explicit attempt, stiff fallback.
+    """LSODA-role integration: explicit attempt, stiff warm-handoff.
 
-    ``nonstiff_budget``: RK45 step budget before declaring stiffness
-    (default ``config.max_steps // 4``).
+    ``nonstiff_budget``: RK45 step budget; stiffness is declared as soon
+    as the projected remaining steps exceed what is left of it (default
+    ``max(config.max_steps // 4, 64)``).
     """
     budget = nonstiff_budget or max(config.max_steps // 4, 64)
     cfg_rk = dataclasses.replace(config, max_steps=budget)
+    t_eval = jnp.asarray(t_eval)
 
     res_rk = dopri5_solve(f, t_span, y0, t_eval, config=cfg_rk,
-                          sens_rhs=sens_rhs, s0=s0)
+                          sens_rhs=sens_rhs, s0=s0, stiff_exit=True)
+    m = 0 if s0 is None else s0.shape[1]
 
     def fallback():
-        return bdf_solve(f, t_span, y0, t_eval, config=config,
-                         sens_rhs=sens_rhs, s0=s0, jac=jac)
+        y_h = res_rk.y_final[:, 0]
+        s_h = res_rk.y_final[:, 1:] if m else None
+        res_b = bdf_solve(f, (res_rk.t_final, t_span[1]), y_h, t_eval,
+                          config=config, sens_rhs=sens_rhs, s0=s_h, jac=jac)
+        # stitch dense outputs: rows the explicit phase already produced
+        # (t_eval <= handoff time) keep their RK45 values
+        pre = t_eval <= res_rk.t_final
+        ys = jnp.where(pre[:, None], res_rk.ys, res_b.ys)
+        sens = (jnp.where(pre[:, None, None], res_rk.sens, res_b.sens)
+                if m else res_b.sens)
+        return IntegrateResult(
+            ys=ys, sens=sens, status=res_b.status,
+            nsteps=res_rk.nsteps + res_b.nsteps,
+            naccepted=res_rk.naccepted + res_b.naccepted,
+            nrejected=res_rk.nrejected + res_b.nrejected,
+            nfev=res_rk.nfev + res_b.nfev, njev=res_b.njev,
+            nlu=res_b.nlu, order_hist=res_b.order_hist,
+            t_final=res_b.t_final, y_final=res_b.y_final)
 
     def keep():
-        return res_rk
+        # shape/pytree-matched with the fallback branch
+        return IntegrateResult(
+            ys=res_rk.ys, sens=res_rk.sens, status=res_rk.status,
+            nsteps=res_rk.nsteps, naccepted=res_rk.naccepted,
+            nrejected=res_rk.nrejected, nfev=res_rk.nfev,
+            njev=jnp.zeros((), jnp.int32), nlu=jnp.zeros((), jnp.int32),
+            order_hist=jnp.zeros((6,), jnp.int32),
+            t_final=res_rk.t_final, y_final=res_rk.y_final)
 
     return lax.cond(res_rk.status == STATUS_DONE, keep, fallback)

@@ -189,29 +189,37 @@ def bdf_solve(
     mp = config.mixed_precision and dtype == jnp.float64
     cdt = jnp.float32 if mp else dtype
     if mp:
+        # f32 hot loop INCLUDING storage: the column block, difference
+        # arrays, and dense output all live in f32 (measured: f64 D-array
+        # bookkeeping of the 31-column block cost 3x the per-iteration
+        # time of the tight config — docs/PERFORMANCE.md round-2 #3).
+        # Time/step control stays f64.
         def jac_c(t, y):
-            return jax.jacfwd(
-                lambda yy: f(t.astype(cdt), yy))(y.astype(cdt))
+            return jac(t, y.astype(cdt)).astype(cdt)
 
         def factor_c(a):
             return factor_fn(a.astype(cdt))
 
         def solve_c(fact, b):
-            return solve_fn(fact, b.astype(cdt)).astype(dtype)
+            return solve_fn(fact, b.astype(cdt))
 
         def f_c(t, y):
-            return f(t.astype(cdt), y.astype(cdt)).astype(dtype)
+            return f(t.astype(cdt), y.astype(cdt))
     else:
         jac_c, factor_c, solve_c, f_c = jac, factor_fn, solve_fn, f
 
     # Column parts: [(n_cols, dtype), ...]. With sens_precision='f32' the
     # sensitivity columns live ENTIRELY in f32 (storage, RHS, solves,
     # bookkeeping, dense output); part 0 (the state) drives all control.
+    # Under mixed_precision the WHOLE block (state included) is stored in
+    # f32 — time/step control stays f64 (screening mode).
     split = (config.sens_precision == "f32" and m > 0 and not mp
              and dtype == jnp.float64 and not config.sens_error_control)
     f32 = jnp.float32
     if split:
         parts = ((1, dtype), (m, f32))
+    elif mp:
+        parts = ((1 + m, f32),)
     else:
         parts = ((1 + m, dtype),)
 
@@ -239,10 +247,9 @@ def bdf_solve(
             Y = Yb[0]
             y = Y[:, 0]
             if mp:
-                y32 = Y.astype(cdt)
-                fy = f(t.astype(cdt), y32[:, 0]).astype(dtype)
-                fs = sens_rhs(t.astype(cdt), y32[:, 0],
-                              y32[:, 1:]).astype(dtype)
+                # storage is already f32; evaluate in f32 throughout
+                fy = f(t.astype(cdt), y)
+                fs = sens_rhs(t.astype(cdt), y, Y[:, 1:])
                 return (jnp.concatenate([fy[:, None], fs], axis=1),)
             fy = f(t, y)
             fs = sens_rhs(t, y, Y[:, 1:])
@@ -263,12 +270,12 @@ def bdf_solve(
     if split:
         Y0b = (y0[:, None], jnp.asarray(s0, f32))
     elif m:
-        Y0b = (jnp.concatenate([y0[:, None], jnp.asarray(s0, dtype)],
-                               axis=1),)
+        Y0b = (jnp.concatenate(
+            [y0[:, None], jnp.asarray(s0, dtype)], axis=1).astype(cdt),)
     else:
-        Y0b = (y0[:, None],)
+        Y0b = (y0[:, None].astype(cdt),)
     F0b = faug_b(t0, Y0b)
-    f0 = F0b[0][:, 0]
+    f0 = F0b[0][:, 0].astype(dtype)
     if config.first_step is None:
         h0 = common.select_initial_step(
             f, t0, y0, f0, t_bound, config.max_step, rtol, atol, order=1)
@@ -425,12 +432,12 @@ def bdf_solve(
         safety = (config.safety * (2 * NEWTON_MAXITER + 1)
                   / (2 * NEWTON_MAXITER + n_iter.astype(dtype)))
         scale_new = atol + rtol * jnp.abs(Y_new[0][:, 0])
-        err = error_const[order] * d[0]
+        err = error_const[order].astype(d[0].dtype) * d[0]
         if config.sens_error_control and m and not split:
             scale_full = atol + rtol * jnp.abs(Y_new[0])
-            error_norm = rms_norm(err / scale_full)
+            error_norm = rms_norm(err / scale_full).astype(dtype)
         else:
-            error_norm = rms_norm(err[:, 0] / scale_new)
+            error_norm = rms_norm(err[:, 0] / scale_new).astype(dtype)
         # NaN compares false, which would silently ACCEPT a garbage step;
         # force non-finite error estimates onto the rejection path.
         bad_err = ~jnp.isfinite(error_norm)
@@ -444,36 +451,44 @@ def bdf_solve(
                                 .at[order + 1].set(dp),
             D, d)
 
-        # D[i] += D[i+1] for i = order..0 (downward sweep, masked)
-        def cum_body(jj, Dc):
-            idx = (order - jj) % D_ROWS
-            return bmap(
-                lambda Dp, i: Dp.at[idx].set(
-                    jnp.where(jj <= order, Dp[idx] + Dp[(idx + 1) % D_ROWS],
-                              Dp[idx])),
-                Dc)
-
-        D_acc = lax.fori_loop(0, MAX_ORDER + 1, cum_body, D_acc)
+        # D[i] += D[i+1] for i = order..0: the downward sweep telescopes to
+        # D_new[i] = Σ_{j=i}^{order+1} D[j] for i <= order (identity above)
+        # — ONE masked (D_ROWS x D_ROWS) transform instead of MAX_ORDER+1
+        # sequential full-array updates (profiled: the sweep was ~9% of
+        # device time as 6 HBM-bound fusions per while iteration).
+        ri = rows[:, None]
+        rj = rows[None, :]
+        cum_mask = jnp.where(ri <= order,
+                             (rj >= ri) & (rj <= order + 1),
+                             ri == rj)
+        D_acc = bmap(
+            lambda Dp, i: jnp.einsum("ij,j...->i...",
+                                     cum_mask.astype(Dp.dtype), Dp),
+            D_acc)
 
         n_equal_acc = n_equal_steps + 1
         # --- order/step adaptation once n_equal > order (bdf.py:421-448) ---
         do_adapt = accept & (n_equal_acc >= order + 1)
-        ec_m = error_const[jnp.maximum(order - 1, 0)]
-        ec_p = error_const[jnp.minimum(order + 1, MAX_ORDER + 1)]
+        pdt = D_acc[0].dtype
+        ec_m = error_const[jnp.maximum(order - 1, 0)].astype(pdt)
+        ec_p = error_const[jnp.minimum(order + 1, MAX_ORDER + 1)].astype(pdt)
         err_m = ec_m * D_acc[0][order]
         err_p = ec_p * D_acc[0][order + 2]
         inf_ = jnp.asarray(jnp.inf, dtype)
         if config.sens_error_control and m and not split:
             scale_full = atol + rtol * jnp.abs(Y_new[0])
-            err_m_norm = jnp.where(order > 1,
-                                   rms_norm(err_m / scale_full), inf_)
-            err_p_norm = jnp.where(order < MAX_ORDER,
-                                   rms_norm(err_p / scale_full), inf_)
+            err_m_norm = jnp.where(
+                order > 1, rms_norm(err_m / scale_full).astype(dtype), inf_)
+            err_p_norm = jnp.where(
+                order < MAX_ORDER,
+                rms_norm(err_p / scale_full).astype(dtype), inf_)
         else:
-            err_m_norm = jnp.where(order > 1,
-                                   rms_norm(err_m[:, 0] / scale_new), inf_)
-            err_p_norm = jnp.where(order < MAX_ORDER,
-                                   rms_norm(err_p[:, 0] / scale_new), inf_)
+            err_m_norm = jnp.where(
+                order > 1,
+                rms_norm(err_m[:, 0] / scale_new).astype(dtype), inf_)
+            err_p_norm = jnp.where(
+                order < MAX_ORDER,
+                rms_norm(err_p[:, 0] / scale_new).astype(dtype), inf_)
         error_norms = jnp.stack([err_m_norm, error_norm, err_p_norm])
         exponents = -1.0 / (orderf + jnp.arange(3, dtype=dtype))
         # TPU emulated-f64 pow(inf, negative) yields NaN (not 0); guard the
@@ -578,8 +593,10 @@ def bdf_solve(
     else:
         ys = final.ys_acc[0][:, :, 0]
         sens = final.ys_acc[0][:, :, 1:]
+    y_final = jnp.concatenate(
+        [Dp[0].astype(dtype) for Dp in final.D], axis=1)
     return IntegrateResult(
         ys=ys, sens=sens, status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,
         nfev=final.nfev, njev=final.njev, nlu=final.nlu,
-        order_hist=final.order_hist)
+        order_hist=final.order_hist, t_final=final.t, y_final=y_final)

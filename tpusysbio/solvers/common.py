@@ -25,6 +25,7 @@ STATUS_TOO_SMALL_STEP = 2   # h underflowed machine spacing (bdf.py:340-341 anal
 STATUS_NONFINITE = 3        # RHS produced non-finite values (bdf.py:44-45 analogue)
 STATUS_MAX_STEPS = 4        # step budget exhausted (lockstep safety net)
 STATUS_SS_FAIL = 5          # algebraic steady-state Newton did not converge
+STATUS_STIFF = 6            # explicit stepper detected stiffness (handoff)
 
 
 def rms_norm(x: jax.Array) -> jax.Array:
@@ -53,6 +54,11 @@ class IntegrateResult(NamedTuple):
     # accepted-step counts per BDF order 1..5 (zeros for other steppers) —
     # the "order histogram" observability channel (SURVEY.md §5)
     order_hist: jax.Array = None
+    # Final integration state (t, column block (n, 1+m)) — the warm-handoff
+    # channel: ``auto_solve`` continues a stiffness-aborted explicit run
+    # with the BDF stepper from here instead of restarting at t0.
+    t_final: jax.Array = None
+    y_final: jax.Array = None
 
     @property
     def success(self):

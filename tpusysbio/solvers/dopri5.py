@@ -73,6 +73,7 @@ class _RKState(NamedTuple):
     naccepted: jax.Array
     nrejected: jax.Array
     nfev: jax.Array
+    stiff_count: jax.Array    # consecutive stability-limited-pace steps
 
 
 def dopri5_solve(
@@ -84,8 +85,16 @@ def dopri5_solve(
     sens_rhs: Optional[Callable] = None,
     s0: Optional[jax.Array] = None,
     jac: Optional[Callable] = None,  # unused (explicit method)
+    stiff_exit: bool = False,
 ) -> IntegrateResult:
-    """Integrate ``dy/dt = f(t, y)`` forward; same interface as ``bdf_solve``."""
+    """Integrate ``dy/dt = f(t, y)`` forward; same interface as ``bdf_solve``.
+
+    ``stiff_exit``: abort with ``STATUS_STIFF`` as soon as the controlled
+    step size implies the remaining interval cannot finish within the step
+    budget — the cheap stiffness detector for ``auto_solve``'s explicit
+    phase (LSODA-role switching, SURVEY.md §2a #8). The final ``(t, Y)``
+    is reported in ``t_final``/``y_final`` for a warm handoff.
+    """
     dtype = jnp.result_type(y0.dtype)
     y0 = jnp.asarray(y0, dtype)
     t0 = jnp.asarray(t_span[0], dtype)
@@ -140,7 +149,8 @@ def dopri5_solve(
         t=t0, y=Y0, f=F0, h_abs=h0, step_rejected=jnp.asarray(False),
         status=i32(STATUS_RUNNING), ys_acc=ys0, nsteps=i32(0),
         naccepted=i32(0), nrejected=i32(0),
-        nfev=i32(1 + (0 if config.first_step is not None else 2)))
+        nfev=i32(1 + (0 if config.first_step is not None else 2)),
+        stiff_count=i32(0))
 
     def cond(st: _RKState):
         return st.status == STATUS_RUNNING
@@ -212,6 +222,24 @@ def dopri5_solve(
             done, STATUS_DONE,
             jnp.where(nsteps >= config.max_steps, STATUS_MAX_STEPS,
                       STATUS_RUNNING)).astype(jnp.int32)
+        if stiff_exit:
+            # pace check: steps still needed at the controlled h vs budget.
+            # Gated on "h stopped growing" (during the initial ramp from
+            # the conservative Hairer h0 the projection is meaninglessly
+            # large; h grows ~10x per accepted step) and required on
+            # SEVERAL consecutive steps, so one early rejection cannot
+            # spuriously declare a nonstiff problem stiff.
+            t_cur = jnp.where(accept, t_new, t)
+            projected = (t_bound - t_cur) / jnp.maximum(h_new, min_step)
+            not_growing = h_new <= 1.2 * h_abs
+            limited = (~done & not_growing
+                       & (projected
+                          > (config.max_steps - nsteps).astype(dtype)))
+            stiff_count = jnp.where(limited, st.stiff_count + 1, 0)
+            status = jnp.where(stiff_count >= 5, common.STATUS_STIFF,
+                               status)
+        else:
+            stiff_count = st.stiff_count
 
         new_st = _RKState(
             t=jnp.where(accept, t_new, t),
@@ -222,7 +250,7 @@ def dopri5_solve(
             status=status, ys_acc=ys_acc, nsteps=nsteps,
             naccepted=st.naccepted + jnp.where(accept, 1, 0),
             nrejected=st.nrejected + jnp.where(accept, 0, 1),
-            nfev=st.nfev + 6)
+            nfev=st.nfev + 6, stiff_count=stiff_count)
 
         frozen = st._replace(status=i32(STATUS_TOO_SMALL_STEP))
         return jax.tree.map(
@@ -235,4 +263,5 @@ def dopri5_solve(
         naccepted=final.naccepted, nrejected=final.nrejected,
         nfev=final.nfev, njev=jnp.zeros((), jnp.int32),
         nlu=jnp.zeros((), jnp.int32),
-        order_hist=jnp.zeros((6,), jnp.int32))
+        order_hist=jnp.zeros((6,), jnp.int32),
+        t_final=final.t, y_final=final.y)

@@ -231,4 +231,5 @@ def rosenbrock_solve(
         status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,
         nfev=final.nfev, njev=final.njev, nlu=final.nlu,
-        order_hist=jnp.zeros((6,), jnp.int32))
+        order_hist=jnp.zeros((6,), jnp.int32),
+        t_final=final.t, y_final=final.y)
