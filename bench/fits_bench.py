@@ -55,8 +55,11 @@ def build_problem():
     pmap = ParameterMap.create(model.param_names, 1, shared=tuple(free),
                                fixed=fixed)
     solver = os.environ.get("TPUSYSBIO_FITS_SOLVER", "inv32")
+    # max_steps = 2x the nominal 262-step integration: one pathological
+    # LHS member otherwise drags every LM iteration's lockstep union to
+    # the full budget (docs/PERFORMANCE.md "lockstep-union tax")
     proj = Project(model=model, pmap=pmap, batch=batch,
-                   config=SolverConfig(rtol=1e-6, atol=1e-9, max_steps=768,
+                   config=SolverConfig(rtol=1e-6, atol=1e-9, max_steps=512,
                                        linear_solver=solver,
                                        sens_precision="f32"))
     theta_true = pmap.pack(

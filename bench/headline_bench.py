@@ -38,6 +38,7 @@ SCREEN_ITERS = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_ITERS", "8"))
 # Bounded batches keep each device execution small and sidestep a runtime
 # instability observed for single >=1024-member fit executions.
 SCREEN_CHUNK = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_CHUNK", "512"))
+POLISH_ITERS = int(os.environ.get("TPUSYSBIO_HEADLINE_POLISH_ITERS", "20"))
 
 
 def main():
@@ -58,7 +59,7 @@ def main():
                              theta_true - 1.0, theta_true + 1.0)
     screen_cfg = FitConfig(max_iter=SCREEN_ITERS, eval_mode="lockstep",
                            ftol=1e-4, xtol=1e-4)
-    polish_cfg = FitConfig(max_iter=20, eval_mode="lockstep")
+    polish_cfg = FitConfig(max_iter=POLISH_ITERS, eval_mode="lockstep")
 
     from tpusysbio.fit.multistart import make_multistart_runner
 

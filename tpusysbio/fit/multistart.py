@@ -38,6 +38,11 @@ class MultistartResult(NamedTuple):
     status: jax.Array      # (N,) LM status codes
     n_iter: jax.Array      # (N,)
     theta0: jax.Array      # (N, G) the starts
+    # per-member (JᵀJ)⁻¹ and 1σ error bars at the final iterate (the
+    # reference's leastsq cov_x channel — see optim/lm.py FitResult);
+    # None on paths that do not propagate them (checkpointed chunks)
+    cov: Optional[jax.Array] = None          # (N, G, G)
+    param_sigma: Optional[jax.Array] = None  # (N, G)
 
     def ranked(self) -> "MultistartResult":
         """Sort by cost; invalid members (failed init / non-finite) last.
@@ -50,7 +55,8 @@ class MultistartResult(NamedTuple):
         bad = (self.status < 0) | ~jnp.isfinite(self.cost)
         key = jnp.where(bad, jnp.inf, self.cost)
         order = jnp.argsort(key)
-        return MultistartResult(*(x[order] for x in self))
+        return MultistartResult(
+            *(None if x is None else x[order] for x in self))
 
     def best(self):
         r = self.ranked()
@@ -176,7 +182,8 @@ def make_multistart_runner(
         fr = run(theta0s)
         return MultistartResult(theta=fr.theta, cost=fr.cost,
                                 grad_norm=fr.grad_norm, status=fr.status,
-                                n_iter=fr.n_iter, theta0=theta0s)
+                                n_iter=fr.n_iter, theta0=theta0s,
+                                cov=fr.cov, param_sigma=fr.param_sigma)
 
     return runner
 
