@@ -28,3 +28,22 @@ def test_sens_reports_counters(capsys):
     assert rec["status"] == 1
     assert rec["nlu"] > 0
     assert "sens shape (4, 2, 6)" in out
+
+
+def test_multistart_two_phase_pipeline(tmp_path, capsys):
+    """The end-to-end production pipeline (screen -> rank -> polish ->
+    covariance report) through the CLI, tiny sizes (verdict L6 item)."""
+    out = str(tmp_path / "fits.npz")
+    cli.main(["multistart", "--model", "mm3", "--starts", "4",
+              "--top-k", "2", "--screen-iters", "2", "--polish-iters",
+              "4", "--iter-chunk", "4", "--t-end", "10", "--n-times",
+              "6", "--spread", "0.3", "--linear-solver", "inv32",
+              "--out", out])
+    captured = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(captured[0])
+    assert rec["model"] == "mm3" and rec["top_k"] == 2
+    assert np.isfinite(rec["best_cost"])
+    data = np.load(out)
+    assert data["theta"].shape == (2, 4)
+    assert data["param_sigma"].shape == (2, 4)
+    assert np.all(np.isfinite(data["cost"]))

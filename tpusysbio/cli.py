@@ -120,6 +120,120 @@ def cmd_bench(args):
     bench.main()
 
 
+_FREE_PARAMS = {
+    # sensible identifiable free sets per canonical config; None = all
+    "mm3": None,
+    "repressilator": None,
+    "jakstat": ("k1", "k2", "k3", "k4"),
+    "mapk22": "KKPP+K|KPase+KP",   # 12 MAPK-layer rate constants
+}
+
+
+def cmd_multistart(args):
+    """End-to-end two-phase multi-start pipeline on a canonical config:
+    synthesize data at the true parameters + noise, screen a Latin-
+    hypercube start cloud with the f32 engine at loose rtol, polish the
+    top fraction at reference accuracy, report ranked fits + 1σ bars."""
+    import dataclasses
+    import time
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpusysbio.config import FitConfig, SolverConfig
+    from tpusysbio.data import Experiment, ExperimentBatch, Measurement
+    from tpusysbio.fit import latin_hypercube
+    from tpusysbio.fit.multistart import multistart_two_phase
+    from tpusysbio.project import ParameterMap, Project
+
+    build, p_true = _models()[args.model]
+    model = build()
+    p_true = np.asarray(p_true)
+    t = np.linspace(args.t_end / args.n_times, args.t_end, args.n_times)
+    sim = model.simulate(jnp.asarray(p_true), (0.0, args.t_end),
+                         jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-9, atol=1e-12,
+                                             max_steps=4096))
+    obs = np.asarray(jax.vmap(
+        lambda y: model.observables(y, jnp.asarray(p_true)))(sim.ys))
+    rng = np.random.default_rng(args.seed)
+    sigma = args.noise * float(np.max(np.abs(obs)))
+    data = obs + rng.normal(scale=sigma, size=obs.shape)
+    meas = tuple(Measurement(obs_index=i, times=t, values=data[:, i],
+                             sigmas=np.full(len(t), sigma))
+                 for i in range(model.n_obs))
+    batch = ExperimentBatch.from_experiments([Experiment("synth", meas)])
+
+    spec = _FREE_PARAMS.get(args.model)
+    if spec is None:
+        free = list(model.param_names)
+    elif isinstance(spec, str):
+        prefixes = tuple(spec.split("|"))
+        free = [n for n in model.param_names if n.startswith(prefixes)]
+    else:
+        free = list(spec)
+    fixed = {n: p_true[model.param_names.index(n)]
+             for n in model.param_names if n not in free}
+    pmap = ParameterMap.create(model.param_names, 1, shared=tuple(free),
+                               fixed=fixed)
+    theta_true = pmap.pack(
+        {n: p_true[model.param_names.index(n)] for n in free})
+
+    proj_tight = Project(
+        model=model, pmap=pmap, batch=batch,
+        config=SolverConfig(rtol=args.rtol, atol=args.atol,
+                            max_steps=args.max_steps,
+                            linear_solver=args.linear_solver,
+                            sens_precision="f32"))
+    proj_screen = dataclasses.replace(
+        proj_tight,
+        config=SolverConfig(rtol=1e-3, atol=1e-6,
+                            max_steps=max(64, args.max_steps // 4),
+                            linear_solver=args.linear_solver,
+                            mixed_precision=True))
+
+    starts = latin_hypercube(jax.random.PRNGKey(args.seed), args.starts,
+                             theta_true - args.spread,
+                             theta_true + args.spread)
+    top_k = min(args.top_k, args.starts)
+    t0 = time.perf_counter()
+    with _maybe_profile(args.profile):
+        polish, screen = multistart_two_phase(
+            (proj_screen.residuals, proj_screen.residuals_and_jacobian),
+            (proj_tight.residuals, proj_tight.residuals_and_jacobian),
+            starts,
+            FitConfig(max_iter=args.screen_iters, eval_mode="lockstep",
+                      ftol=1e-4, xtol=1e-4),
+            FitConfig(max_iter=args.polish_iters, eval_mode="lockstep"),
+            top_k=top_k, iter_chunk=args.iter_chunk)
+        jax.block_until_ready(polish.cost)
+    wall = time.perf_counter() - t0
+
+    ranked = polish.ranked()
+    cost_truth = float(proj_tight.cost(jnp.asarray(theta_true)))
+    print(json.dumps({
+        "model": args.model, "free_params": len(free),
+        "starts": args.starts, "top_k": top_k,
+        "wall_seconds": round(wall, 1),
+        "screen_finished": int((np.asarray(screen.status) >= 0).sum()),
+        "best_cost": float(ranked.cost[0]),
+        "cost_at_truth": round(cost_truth, 6),
+        "top_costs": np.asarray(ranked.cost[:min(5, top_k)]).round(
+            4).tolist(),
+    }))
+    best_sigma = np.asarray(ranked.param_sigma[0])
+    for name, th, sg in zip(free, np.asarray(ranked.theta[0]), best_sigma):
+        print(f"  {name:>16s}: {np.exp(th):.6g}  "
+              f"(log-space 1σ {sg:.3g})")
+    if args.out:
+        np.savez(args.out, theta=np.asarray(ranked.theta),
+                 cost=np.asarray(ranked.cost),
+                 status=np.asarray(ranked.status),
+                 param_sigma=np.asarray(ranked.param_sigma),
+                 free=np.asarray(free))
+        print(f"ranked results saved to {args.out}", file=sys.stderr)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="tpusysbio")
     parser.add_argument("--cpu", action="store_true",
@@ -157,6 +271,33 @@ def main(argv=None):
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_ms = sub.add_parser(
+        "multistart",
+        help="two-phase multi-start fit pipeline on a canonical config")
+    p_ms.add_argument("--model", default="mapk22",
+                      choices=list(_FREE_PARAMS.keys()))
+    p_ms.add_argument("--starts", type=int, default=64)
+    p_ms.add_argument("--top-k", type=int, default=8)
+    p_ms.add_argument("--screen-iters", type=int, default=8)
+    p_ms.add_argument("--polish-iters", type=int, default=20)
+    p_ms.add_argument("--iter-chunk", type=int, default=8)
+    p_ms.add_argument("--spread", type=float, default=1.0,
+                      help="LHS half-width around truth, log space")
+    p_ms.add_argument("--noise", type=float, default=0.02,
+                      help="data noise as a fraction of max |obs|")
+    p_ms.add_argument("--seed", type=int, default=0)
+    p_ms.add_argument("--t-end", type=float, default=100.0)
+    p_ms.add_argument("--n-times", type=int, default=12)
+    p_ms.add_argument("--rtol", type=float, default=1e-6)
+    p_ms.add_argument("--atol", type=float, default=1e-9)
+    p_ms.add_argument("--max-steps", type=int, default=512)
+    p_ms.add_argument("--linear-solver", default="pallas",
+                      choices=["lu", "inv", "inv32", "pallas"])
+    p_ms.add_argument("--profile", metavar="DIR", default=None)
+    p_ms.add_argument("--out", default=None,
+                      help="save ranked results to .npz")
+    p_ms.set_defaults(fn=cmd_multistart)
 
     args = parser.parse_args(argv)
     if args.cpu:
