@@ -59,16 +59,20 @@ def make_mesh(n_devices: Optional[int] = None,
 def results_to_records(result) -> list:
     """MultistartResult -> list of per-start dicts (JSON-ready)."""
     n = result.cost.shape[0]
+    sigma = getattr(result, "param_sigma", None)
     recs = []
     for i in range(n):
-        recs.append({
+        rec = {
             "start": i,
             "cost": float(result.cost[i]),
             "status": int(result.status[i]),
             "n_iter": int(result.n_iter[i]),
             "grad_norm": float(result.grad_norm[i]),
             "theta": np.asarray(result.theta[i]).tolist(),
-        })
+        }
+        if sigma is not None:
+            rec["param_sigma"] = np.asarray(sigma[i]).tolist()
+        recs.append(rec)
     return recs
 
 
