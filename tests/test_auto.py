@@ -58,10 +58,12 @@ def test_auto_transition_handoff_matches_reference():
     err = np.max(np.abs(np.asarray(res.ys[:, 0]) - ref.y[0]))
     assert err < 1e-4
 
-    # head-to-head vs per-step-switching LSODA (Fortran): segment handoff
-    # must not cost more than ~2x LSODA's step count on this problem
+    # head-to-head vs per-step-switching LSODA (Fortran): measured ratio
+    # on this problem is 0.58x (auto 180 steps vs LSODA 313 — recorded in
+    # PARITY.md #8); the assertion is tightened to <=1.2x so a regression
+    # to "merely 2x worse than LSODA" cannot land silently
     _, lsoda_steps = _scipy_lsoda_steps()
-    assert int(res.nsteps) < 2.0 * lsoda_steps, (
+    assert int(res.nsteps) <= 1.2 * lsoda_steps, (
         f"auto {int(res.nsteps)} vs LSODA {lsoda_steps}")
 
 

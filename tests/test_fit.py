@@ -141,15 +141,27 @@ def test_sampling_shapes_and_determinism():
 def test_checkpoint_resume(tmp_path):
     theta0s = jnp.tile(jnp.asarray([-1.2, 1.0]), (4, 1))
     ck = str(tmp_path / "ck.npz")
+    cfg = FitConfig(max_iter=100)
     out = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
-                         FitConfig(max_iter=100), checkpoint_path=ck,
-                         chunk_size=2)
+                         cfg, checkpoint_path=ck, chunk_size=2)
     assert out.cost.shape == (4,)
     # resume: results identical, no recompute of completed chunks
     out2 = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
-                          FitConfig(max_iter=100), checkpoint_path=ck,
-                          chunk_size=2)
+                          cfg, checkpoint_path=ck, chunk_size=2)
     np.testing.assert_allclose(np.asarray(out.cost), np.asarray(out2.cost))
+    # the checkpointed path carries EVERY per-member channel the plain
+    # path does — incl. cov/param_sigma (the reference's leastsq cov_x,
+    # scipy/optimize/_minpack_py.py:482-501) and the cost trace
+    plain = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                           cfg)
+    for field in ("theta", "cost", "grad_norm", "status", "n_iter",
+                  "cov", "param_sigma", "cost_trace"):
+        a, b = getattr(out, field), getattr(plain, field)
+        assert a is not None and b is not None, field
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12, err_msg=field)
+    # resumed result carries them too
+    assert out2.cov is not None and out2.cost_trace is not None
 
 
 def test_trf_bounded_matches_scipy():
@@ -333,3 +345,62 @@ def test_multistart_compaction_matches_unchunked():
                                   np.asarray(b.n_iter))
     np.testing.assert_array_equal(np.asarray(a.status),
                                   np.asarray(b.status))
+
+
+@pytest.mark.slow
+def test_multistart_compaction_under_mesh():
+    """Compaction is legal under a mesh: repacked batches stay divisible
+    by the device count and survivors reshard; results identical to the
+    plain unsharded path (the long-tailed-convergence production shape on
+    a v5e-8)."""
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("starts",))
+    rng = np.random.default_rng(9)
+    theta0s = jnp.asarray(rng.normal(scale=1.0, size=(32, 2)))
+    a = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=120))
+    b = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                       FitConfig(max_iter=120), mesh=mesh, iter_chunk=5,
+                       compact=True)
+    np.testing.assert_allclose(np.asarray(a.theta), np.asarray(b.theta),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(a.status),
+                                  np.asarray(b.status))
+
+
+@pytest.mark.slow
+def test_two_phase_mesh_pallas_matches_unsharded():
+    """The headline-shaped program on the fake 8-device mesh: iter-chunked
+    TWO-PHASE multistart with linear_solver='pallas' (interpret mode on
+    CPU) under Mesh(('starts',)) — top-k ranking parity with the
+    unsharded run (SURVEY.md §4 item 5; VERDICT round-2 #7)."""
+    import dataclasses
+
+    from tpusysbio.fit.multistart import multistart_two_phase
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), ("starts",))
+    proj_tight, theta_true = _mm_problem()
+    proj_tight = dataclasses.replace(
+        proj_tight, config=dataclasses.replace(
+            proj_tight.config, linear_solver="pallas"))
+    proj_screen = dataclasses.replace(
+        proj_tight, config=SolverConfig(rtol=1e-3, atol=1e-6, max_steps=256,
+                                        mixed_precision=True,
+                                        linear_solver="pallas"))
+    starts = latin_hypercube(jax.random.PRNGKey(3), 16, theta_true - 1.0,
+                             theta_true + 1.0)
+    screen_cfg = FitConfig(max_iter=6, eval_mode="lockstep",
+                           ftol=1e-4, xtol=1e-4)
+    polish_cfg = FitConfig(max_iter=20, eval_mode="lockstep")
+    fns_s = (proj_screen.residuals, proj_screen.residuals_and_jacobian)
+    fns_p = (proj_tight.residuals, proj_tight.residuals_and_jacobian)
+    mesh_res, _ = multistart_two_phase(
+        fns_s, fns_p, starts, screen_cfg, polish_cfg, top_k=8,
+        mesh=mesh, iter_chunk=3)
+    plain_res, _ = multistart_two_phase(
+        fns_s, fns_p, starts, screen_cfg, polish_cfg, top_k=8)
+    np.testing.assert_allclose(np.asarray(mesh_res.ranked().cost),
+                               np.asarray(plain_res.ranked().cost),
+                               rtol=1e-9)
+    assert int(mesh_res.best().status) > 0

@@ -36,7 +36,11 @@ import jax as _jax
 # count (and 2.5x faster) once matmuls honor true f32. This is a numerics
 # framework: bf16 contraction is never an acceptable default, and at the
 # n<=128 matrix sizes of this domain the extra MXU passes are noise. f64
-# (emulated) and CPU backends are unaffected by this setting.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# (emulated) and CPU backends are unaffected by this setting. Respect an
+# explicit user choice: only set the default when it is still unset (the
+# jax default is None), so a value configured before import — via env var
+# JAX_DEFAULT_MATMUL_PRECISION or jax.config — wins.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from tpusysbio.config import SolverConfig, FitConfig, MeshConfig  # noqa: F401,E402

@@ -39,10 +39,12 @@ class MultistartResult(NamedTuple):
     n_iter: jax.Array      # (N,)
     theta0: jax.Array      # (N, G) the starts
     # per-member (JᵀJ)⁻¹ and 1σ error bars at the final iterate (the
-    # reference's leastsq cov_x channel — see optim/lm.py FitResult);
-    # None on paths that do not propagate them (checkpointed chunks)
+    # reference's leastsq cov_x channel — see optim/lm.py FitResult),
+    # carried identically by the plain, iter_chunk and checkpointed paths
     cov: Optional[jax.Array] = None          # (N, G, G)
     param_sigma: Optional[jax.Array] = None  # (N, G)
+    # accepted-cost history per member (observability, SURVEY.md §5)
+    cost_trace: Optional[jax.Array] = None   # (N, max_iter)
 
     def ranked(self) -> "MultistartResult":
         """Sort by cost; invalid members (failed init / non-finite) last.
@@ -115,6 +117,10 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
                         lambda a: a[slot], fr_np)
                     seen.add(oi)
 
+        # under a mesh, repacked batches must stay divisible by the device
+        # count so shard_map keeps sharding them; gathers on the sharded
+        # state (host-driven repack) reshard automatically
+        n_dev = 1 if mesh is None else int(mesh.devices.size)
         cap = iter_chunk
         while True:
             state = step(state, jnp.asarray(min(cap, config.max_iter),
@@ -126,13 +132,12 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
                 break
             n_live = int((~done).sum())
             cur = orig_idx.shape[0]
-            # repack when at most half the slots are live (and without a
-            # mesh — resharding a shrunken batch is future work)
-            if compact and mesh is None and n_live <= cur // 2 \
-                    and n_live > 0:
+            # repack when at most half the slots are live
+            if compact and n_live <= cur // 2 and n_live > 0:
                 flush(done, state, orig_idx)
                 new_size = max(1 << (n_live - 1).bit_length(),
-                               min(8, cur))
+                               min(8, cur), n_dev)
+                new_size += (-new_size) % n_dev
                 live = np.flatnonzero(~done)
                 pad = np.full(new_size - n_live, live[0])
                 sel = np.concatenate([live, pad])
@@ -183,7 +188,8 @@ def make_multistart_runner(
         return MultistartResult(theta=fr.theta, cost=fr.cost,
                                 grad_norm=fr.grad_norm, status=fr.status,
                                 n_iter=fr.n_iter, theta0=theta0s,
-                                cov=fr.cov, param_sigma=fr.param_sigma)
+                                cov=fr.cov, param_sigma=fr.param_sigma,
+                                cost_trace=fr.cost_trace)
 
     return runner
 
@@ -230,20 +236,22 @@ def multistart_fit(
     n_chunks = N // chunk_size
     done = 0
     parts = []
+    # every per-member channel — including cov/param_sigma/cost_trace (the
+    # reference's cov_x contract, scipy/optimize/_minpack_py.py:482-501) —
+    # is persisted per chunk, so the checkpointed result is field-for-field
+    # identical with the plain path
+    keys = ("theta", "cost", "grad_norm", "status", "n_iter",
+            "cov", "param_sigma", "cost_trace")
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
         done = int(ck["chunks_done"])
         if done:
-            parts = [dict(theta=ck["theta"], cost=ck["cost"],
-                          grad_norm=ck["grad_norm"], status=ck["status"],
-                          n_iter=ck["n_iter"])]
+            parts = [{k: ck[k] for k in keys if k in ck}]
 
     for c in range(done, n_chunks):
         fr = run(theta0s[c * chunk_size:(c + 1) * chunk_size])
-        parts.append(dict(
-            theta=np.asarray(fr.theta), cost=np.asarray(fr.cost),
-            grad_norm=np.asarray(fr.grad_norm),
-            status=np.asarray(fr.status), n_iter=np.asarray(fr.n_iter)))
+        parts.append({k: np.asarray(getattr(fr, k)) for k in keys
+                      if getattr(fr, k) is not None})
         if checkpoint_path:
             acc = {k: np.concatenate([p[k] for p in parts])
                    for k in parts[0]}
@@ -255,7 +263,12 @@ def multistart_fit(
         theta=jnp.asarray(acc["theta"]), cost=jnp.asarray(acc["cost"]),
         grad_norm=jnp.asarray(acc["grad_norm"]),
         status=jnp.asarray(acc["status"]),
-        n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s)
+        n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s,
+        cov=jnp.asarray(acc["cov"]) if "cov" in acc else None,
+        param_sigma=(jnp.asarray(acc["param_sigma"])
+                     if "param_sigma" in acc else None),
+        cost_trace=(jnp.asarray(acc["cost_trace"])
+                    if "cost_trace" in acc else None))
 
 
 def multistart_two_phase(

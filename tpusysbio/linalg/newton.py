@@ -74,17 +74,8 @@ def make_linear_solver(kind: str) -> Tuple[Callable, Callable]:
         from tpusysbio.linalg import pallas_lu
 
         def factor(a):
-            n = a.shape[-1]
-            if n > 64:
-                # VMEM budget: the kernel keeps ~4 (n, n, block) f32
-                # buffers resident; beyond n~64 that exceeds VMEM at any
-                # useful block. Use the f32-LU + f64-refinement path
-                # (same numerics) for large states (e.g. EGFR n=97).
-                x = _lu.lu_inverse(a.astype(jnp.float32)).astype(a.dtype)
-                eye = jnp.eye(n, dtype=a.dtype)
-                x = x + x @ (eye - a @ x)
-                x = x + x @ (eye - a @ x)
-                return x
+            # n > pallas_lu.MAX_KERNEL_N (VMEM budget) falls back inside
+            # inverse() to f32-LU + refinement (e.g. EGFR n=97).
             return pallas_lu.inverse(a)
 
         def solve(ainv, b):

@@ -259,13 +259,111 @@ _INV_F64 = _make_inverse(2)   # f32 kernel + 2 Newton-Schulz -> ~1e-13
 _INV_F32 = _make_inverse(1)   # f32 kernel + 1 f32 polish
 
 
+def _make_schur():
+    @jax.custom_batching.custom_vmap
+    def inv(a):
+        n = a.shape[-1]
+        lead = a.shape[:-2]
+        B = 1
+        for d in lead:
+            B *= d
+        ab = a.reshape((B, n, n))
+        x = _schur_inverse(ab.astype(jnp.float32)).astype(a.dtype)
+        return _refine(ab, x).reshape(a.shape)
+
+    @inv.def_vmap
+    def _inv_vmap(axis_size, in_batched, a):
+        # re-enter the custom_vmap fn so nested vmaps keep collapsing
+        # into the kernel batch (see _make_inverse._inv_vmap)
+        del axis_size, in_batched
+        return inv(a), True
+
+    return inv
+
+
+_SCHUR_INV = _make_schur()
+
+# In-kernel size limit: the kernel keeps ~4 f32 (n, n, block) buffers
+# resident in VMEM; above n≈64 no useful block fits (n=97 fails to
+# compile on hardware while n<=64 works). Larger matrices take the
+# f32-LU + Newton-Schulz-refinement path below — same numerics contract.
+MAX_KERNEL_N = 64
+
+
+def _refine(a: jax.Array, x: jax.Array) -> jax.Array:
+    """Newton–Schulz refinement in the caller's dtype (2 right steps for
+    f64, 1 for f32). Right-refinement drives ``AX - I`` quadratically but
+    leaves ``XA - I`` κ-amplified; a final LEFT step (f64 only) balances
+    both residuals to ~1e-13 at n≈100/κ≈4e3."""
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    steps = 2 if a.dtype == jnp.float64 else 1
+    for _ in range(steps):
+        x = x + x @ (eye - a @ x)
+    if a.dtype == jnp.float64:
+        x = x + (eye - x @ a) @ x
+    return x
+
+
+def _large_n_inverse(a: jax.Array) -> jax.Array:
+    """n > MAX_KERNEL_N fallback: f32 pure-JAX LU inverse + refinement
+    (robust for any conditioning the f32 factorization survives)."""
+    from tpusysbio.linalg import lu as _lu
+
+    x = _lu.lu_inverse(a.astype(jnp.float32)).astype(a.dtype)
+    return _refine(a, x)
+
+
+def _schur_inverse(a: jax.Array) -> jax.Array:
+    """Batched inverse for MAX_KERNEL_N < n <= 2*MAX_KERNEL_N via one level
+    of block-Schur elimination (EGFR-class n≈100 states).
+
+    Splits ``A = [[A11, A12], [A21, A22]]`` with an in-VMEM-budget leading
+    block, inverts the two small blocks with the Pallas kernel, and
+    assembles the inverse with six batched MXU matmuls::
+
+        X11 = A11⁻¹;  S = A22 − A21 X11 A12;  XS = S⁻¹
+        B22 = XS             B12 = −X11 A12 XS
+        B21 = −XS A21 X11    B11 = X11 − B12 A21 X11
+
+    No pivoting crosses the block boundary — fine for the diagonally
+    dominant Newton matrices ``I − c·J`` this path serves (and the f64
+    Newton–Schulz refinement in the caller recovers the last digits);
+    pathological leading blocks should use the LU fallback instead.
+    ``a`` is (B, n, n); f32."""
+    n = a.shape[-1]
+    n1 = MAX_KERNEL_N
+    a11, a12 = a[:, :n1, :n1], a[:, :n1, n1:]
+    a21, a22 = a[:, n1:, :n1], a[:, n1:, n1:]
+    x11 = _gj_inverse_f32(a11, interpret=jax.default_backend() != "tpu")
+    x11_a12 = x11 @ a12
+    s = a22 - a21 @ x11_a12
+    xs = _gj_inverse_f32(s, interpret=jax.default_backend() != "tpu")
+    b12 = -(x11_a12 @ xs)
+    a21_x11 = a21 @ x11
+    b21 = -(xs @ a21_x11)
+    b11 = x11 - b12 @ a21_x11
+    top = jnp.concatenate([b11, b12], axis=-1)
+    bot = jnp.concatenate([b21, xs], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def inverse(a: jax.Array, interpret: bool | None = None) -> jax.Array:
     """Inverse of ``a`` (..., n, n); f32 Pallas kernel + refinement in the
     input dtype (2 Newton-Schulz steps for f64, 1 for f32). Any stack of
     ``vmap`` axes collapses into the kernel batch via ``custom_vmap``.
+    For n > ``MAX_KERNEL_N`` (VMEM limit) the same result comes from the
+    f32-LU + refinement fallback, so every caller gets a working inverse
+    at any size.
 
     ``interpret`` is resolved inside the impl (True off-TPU)."""
     del interpret  # resolved at trace time inside the impl
+    n = a.shape[-1]
+    if n > 2 * MAX_KERNEL_N:
+        return _large_n_inverse(a)
+    if n > MAX_KERNEL_N:
+        # one level of block-Schur elimination: two in-budget kernel
+        # calls + six batched MXU matmuls (EGFR-class n≈100)
+        return _SCHUR_INV(a)
     if a.dtype == jnp.float32:
         return _INV_F32(a)
     return _INV_F64(a)
