@@ -64,7 +64,8 @@ def main():
     p_true = jnp.asarray(library.mapk_true_params())
     t_eval = jnp.linspace(*T_SPAN, N_T)
     cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024,
-                       linear_solver=SOLVER, sens_precision=SENS_PREC)
+                       linear_solver=SOLVER, sens_precision=SENS_PREC,
+                       dense_f32=True)
 
     def integrate(p):
         # model-provided closed-form fast paths (massaction.py) when

@@ -61,7 +61,8 @@ def build_problem():
     proj = Project(model=model, pmap=pmap, batch=batch,
                    config=SolverConfig(rtol=1e-6, atol=1e-9, max_steps=512,
                                        linear_solver=solver,
-                                       sens_precision="f32"))
+                                       sens_precision="f32",
+                                       dense_f32=True))
     theta_true = pmap.pack(
         {n: p_true[model.param_names.index(n)] for n in free})
     return proj, theta_true

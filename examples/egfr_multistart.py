@@ -6,10 +6,15 @@ the receptor-module rates (2 parameters) plus the first layer's kinase
 rates (6) from a Latin-hypercube start cloud, to stay runnable in minutes.
 Scale N_STARTS up on a pod slice.
 
-    PYTHONPATH=. python examples/egfr_multistart.py [--cpu] [n_starts]
+    python examples/egfr_multistart.py [--cpu] [n_starts]
 """
 
 import sys
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 

@@ -4,10 +4,15 @@ shared + local parameters and scale factors.
 Two Epo doses share kinetic parameters k1..k4; the input amplitude is
 experiment-local; both observables are relative (fitted scale factors).
 
-    PYTHONPATH=. python examples/jakstat_ensemble.py [--cpu]
+    python examples/jakstat_ensemble.py [--cpu]
 """
 
 import sys
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 

@@ -4,10 +4,15 @@ Demonstrates ``simulate_sensitivities`` (jvp-propagated inside the BDF
 stepper, including dy0/dp for the fitted initial conditions) and checks the
 columns against central finite differences of the solver itself.
 
-    PYTHONPATH=. python examples/lotka_sensitivities.py [--cpu]
+    python examples/lotka_sensitivities.py [--cpu]
 """
 
 import sys
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 

@@ -4,10 +4,15 @@ stiff) single-experiment BDF fit.
 Fits the 6 catalytic rate constants of the MAPK-level reactions (the rest
 held at truth) against noisy observations of the three active kinase forms.
 
-    PYTHONPATH=. python examples/mapk22_fit.py [--cpu]
+    python examples/mapk22_fit.py [--cpu]
 """
 
 import sys
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 

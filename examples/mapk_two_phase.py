@@ -7,7 +7,7 @@ at full reference accuracy (f64 state, rtol=1e-6). This is the shape
 that does 10k MAPK-22 starts in under a minute on a v5e-8
 (docs/PERFORMANCE.md "Round-2 headline result").
 
-    PYTHONPATH=. python examples/mapk_two_phase.py --cpu 64   # quick demo
+    python examples/mapk_two_phase.py --cpu 64   # quick demo
     python examples/mapk_two_phase.py 1024                    # TPU
 
 The start count is the optional positional argument (default 64).
@@ -16,6 +16,11 @@ The start count is the optional positional argument (default 64).
 import dataclasses
 import sys
 import time
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 

@@ -3,10 +3,15 @@
 The minimal end-to-end slice: simulate -> add noise -> build a Project ->
 single LM fit. Run:
 
-    PYTHONPATH=. python examples/mm3_fit.py [--cpu]
+    python examples/mm3_fit.py [--cpu]
 """
 
 import sys
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 

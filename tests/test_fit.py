@@ -404,3 +404,28 @@ def test_two_phase_mesh_pallas_matches_unsharded():
                                np.asarray(plain_res.ranked().cost),
                                rtol=1e-9)
     assert int(mesh_res.best().status) > 0
+
+
+def test_trf_svd_subproblem_matches_normal():
+    """The SVD route of the reference TRF subproblem
+    (scipy/optimize/_lsq/common.py:57; f32 SVD + f64 refinement) reaches
+    the same bounded optimum as the damped-normal-equations incumbent."""
+    from tpusysbio.optim import trf_fit
+
+    lb = jnp.asarray([-2.0, -2.0])
+    ub = jnp.asarray([0.8, 2.0])
+
+    def rj(theta):
+        return _rosenbrock_residuals(theta), jax.jacfwd(
+            _rosenbrock_residuals)(theta)
+
+    theta0 = jnp.asarray([-1.2, 1.0])
+    a = jax.jit(lambda th: trf_fit(_rosenbrock_residuals, rj, th, lb, ub,
+                                   FitConfig(max_iter=300)))(theta0)
+    b = jax.jit(lambda th: trf_fit(_rosenbrock_residuals, rj, th, lb, ub,
+                                   FitConfig(max_iter=300),
+                                   subproblem="svd"))(theta0)
+    assert int(a.status) > 0 and int(b.status) > 0
+    np.testing.assert_allclose(np.asarray(b.theta), np.asarray(a.theta),
+                               atol=1e-6)
+    assert abs(float(b.cost) - float(a.cost)) < 1e-9

@@ -229,3 +229,82 @@ def test_steady_state_measurements_in_project():
     np.testing.assert_allclose(Jnp[3] * 0.05, [0.4, -0.4, 0.0], atol=1e-7)
     # row 4 is z* = k1/k3
     np.testing.assert_allclose(Jnp[4] * 0.05, [0.8, 0.0, -0.8], atol=1e-7)
+
+
+def test_sens_mode_theta_matches_params():
+    """Reduced θ-space sensitivity propagation (sens_mode='theta': the
+    chain rule moves inside the integrator, G columns instead of P)
+    produces the same residuals AND Jacobian as the full params-mode
+    path — on a problem with fixed parameters so G < P, exercising the
+    reduced column block, plus a mass-action model exercising the
+    closed-form rhs_sens_dir fast path."""
+    import dataclasses
+
+    # MM with one fixed parameter -> G=3 < P=4, generic jvp path
+    model = library.michaelis_menten()
+    p_true = jnp.asarray(library.MM_TRUE_PARAMS)
+    t = np.linspace(1.0, 10.0, 6)
+    res = model.simulate(p_true, (0.0, 10.0), jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-10, atol=1e-12))
+    data = np.asarray(res.ys)
+    meas = tuple(Measurement(obs_index=i, times=t, values=data[:, i],
+                             sigmas=np.full(6, 0.05)) for i in range(3))
+    batch = ExperimentBatch.from_experiments([Experiment("e0", meas)])
+    pmap = ParameterMap.create(model.param_names, 1,
+                               shared=("k1", "km1", "k2"),
+                               fixed={"E0": float(p_true[3])})
+    proj_p = Project(model=model, pmap=pmap, batch=batch,
+                     config=SolverConfig(rtol=1e-8, atol=1e-10),
+                     sens_mode="params")
+    proj_t = dataclasses.replace(proj_p, sens_mode="theta")
+    assert proj_t._theta_sens and not proj_p._theta_sens
+    # auto picks theta when G < P
+    assert dataclasses.replace(proj_p, sens_mode="auto")._theta_sens
+    theta = pmap.pack({"k1": 8.0, "km1": 0.8, "k2": 1.2})
+    r_p, J_p = jax.jit(proj_p.residuals_and_jacobian)(theta)
+    r_t, J_t = jax.jit(proj_t.residuals_and_jacobian)(theta)
+    np.testing.assert_allclose(np.asarray(r_t), np.asarray(r_p),
+                               rtol=1e-10, atol=1e-12)
+    assert J_t.shape == J_p.shape == (18, 3)
+    np.testing.assert_allclose(np.asarray(J_t), np.asarray(J_p),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_sens_mode_theta_massaction_fast_path():
+    """MAPK (mass-action): the closed-form rhs_sens_dir reduced block
+    matches the full-P closed-form path chained outside."""
+    import dataclasses
+
+    model = library.mapk_huang_ferrell()
+    assert model.rhs_sens_dir is not None
+    p_true = library.mapk_true_params()
+    t = np.linspace(20.0, 100.0, 4)
+    sim = model.simulate(jnp.asarray(p_true), (0.0, 100.0),
+                         jnp.asarray(t),
+                         config=SolverConfig(rtol=1e-8, atol=1e-11,
+                                             max_steps=2048))
+    obs = np.asarray(jax.vmap(
+        lambda y: model.observables(y, jnp.asarray(p_true)))(sim.ys))
+    meas = tuple(Measurement(obs_index=i, times=t, values=obs[:, i],
+                             sigmas=np.full(len(t), 0.01))
+                 for i in range(model.n_obs))
+    batch = ExperimentBatch.from_experiments([Experiment("wt", meas)])
+    free = [n for n in model.param_names if n.startswith("KKPP+K")][:4]
+    fixed = {n: p_true[model.param_names.index(n)]
+             for n in model.param_names if n not in free}
+    pmap = ParameterMap.create(model.param_names, 1, shared=tuple(free),
+                               fixed=fixed)
+    proj_p = Project(model=model, pmap=pmap, batch=batch,
+                     config=SolverConfig(rtol=1e-6, atol=1e-9,
+                                         max_steps=1024),
+                     sens_mode="params")
+    proj_t = dataclasses.replace(proj_p, sens_mode="theta")
+    theta = pmap.pack({n: p_true[model.param_names.index(n)]
+                       for n in free}) + 0.1
+    r_p, J_p = jax.jit(proj_p.residuals_and_jacobian)(theta)
+    r_t, J_t = jax.jit(proj_t.residuals_and_jacobian)(theta)
+    np.testing.assert_allclose(np.asarray(r_t), np.asarray(r_p),
+                               rtol=1e-8, atol=1e-10)
+    scale = np.maximum(np.abs(np.asarray(J_p)), 1.0)
+    np.testing.assert_allclose(np.asarray(J_t) / scale,
+                               np.asarray(J_p) / scale, atol=5e-6)

@@ -208,3 +208,40 @@ def test_auto_solver_stiff_falls_back_to_bdf(golden):
     err = np.max(np.abs(np.asarray(res.ys) - g["ys"])) / np.max(
         np.abs(g["ys"]))
     assert err < 1e-4
+
+
+def test_long_horizon_memory_is_static():
+    """Long-horizon memory bounding (SURVEY.md §5 long-context): the
+    integrator's device memory is O(1) in the integration horizon BY
+    CONSTRUCTION — one while_loop with a fixed-size carry, no per-step
+    allocation, no reverse-mode tape (forward sensitivities only), and a
+    static (T, n) dense-output buffer. Measured: the compiled
+    executable's temp allocation is a few KB and the SAME executable
+    (t_end is a traced scalar) serves any horizon, so ``jax.checkpoint``
+    rematerialization has nothing to bound. This closes the 'wire
+    jax.checkpoint or measure the horizon where memory matters' item:
+    there is no such horizon."""
+    import jax
+
+    from tpusysbio.solvers import bdf_solve
+
+    model = library.michaelis_menten()
+    p = jnp.asarray(library.MM_TRUE_PARAMS)
+    cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1_000_000)
+
+    def run(t_end):
+        t_eval = jnp.linspace(0.0, 1.0, 41) * t_end
+        r = bdf_solve(lambda t, y: model.rhs(t, y, p), (0.0, t_end),
+                      model.y0(p), t_eval, config=cfg)
+        return r.ys, r.status, r.nsteps
+
+    comp = jax.jit(run).lower(10.0).compile()
+    ma = comp.memory_analysis()
+    # fixed-size temp workspace (few KB), horizon-independent
+    assert ma.temp_size_in_bytes < 1_000_000
+    # the SAME executable integrates a 1000x longer horizon: memory
+    # cannot depend on the step count
+    short = comp(jnp.asarray(10.0))
+    long = comp(jnp.asarray(10_000.0))
+    assert int(short[1]) == 1 and int(long[1]) == 1
+    assert int(long[2]) > int(short[2])  # genuinely more steps

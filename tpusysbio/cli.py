@@ -245,7 +245,8 @@ def main(argv=None):
     def add_common(p):
         p.add_argument("--model", default="mm3", choices=_models().keys())
         p.add_argument("--solver", default="bdf",
-                       choices=["auto", "bdf", "radau", "dopri5", "rosenbrock"])
+                       choices=["auto", "adams", "bdf", "radau", "dopri5",
+                                "rosenbrock"])
         p.add_argument("--t-end", type=float, default=10.0)
         p.add_argument("--n-times", type=int, default=21)
         p.add_argument("--rtol", type=float, default=1e-6)

@@ -65,11 +65,30 @@ class SolverConfig:
     # 'inv32' : f32 LU inverse + two f64 Newton-Schulz refinements — the
     #           O(n^3) elimination runs in fast f32, solves stay f64 matmuls
     # 'pallas': Pallas VMEM-resident batched factor+solve kernel
+    # 'banded': banded LU (no pivoting) exploiting a (kl, ku) Jacobian
+    #           bandwidth (chain-structured pathways) — O(n·b²) instead
+    #           of O(n³); requires ``jac_bandwidth``
     linear_solver: str = "inv"
+    # (kl, ku) bandwidth of the state Jacobian, for linear_solver='banded'
+    jac_bandwidth: tuple = None
+    # Evaluate the dense-output interpolation CORRECTION (on top of the
+    # exact D[0] anchor) in f32 even for f64 state parts: costs
+    # ~eps32·‖correction‖ ≈ 1e-7 relative on output trajectories — well
+    # inside the rtol=1e-6 bar — and removes the largest per-accepted-step
+    # block of emulated-f64 MACs on TPU (+5% tight-path throughput).
+    # OFF by default because finite-DIFFERENCE consumers of the outputs
+    # (dsim/dp ≈ Δy/1e-6) amplify the f32 noise by 1/eps; in-solver
+    # forward sensitivities — the framework's own Jacobian source — are
+    # unaffected either way.
+    dense_f32: bool = False
 
     def __post_init__(self):
-        if self.linear_solver not in ("lu", "inv", "inv32", "pallas"):
+        if self.linear_solver not in ("lu", "inv", "inv32", "pallas",
+                                      "banded"):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
+        if self.linear_solver == "banded" and self.jac_bandwidth is None:
+            raise ValueError("linear_solver='banded' requires "
+                             "jac_bandwidth=(kl, ku)")
         if self.sens_precision not in ("full", "f32"):
             raise ValueError(
                 f"unknown sens_precision {self.sens_precision!r}")

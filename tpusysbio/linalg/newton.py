@@ -24,13 +24,17 @@ import jax.numpy as jnp
 from tpusysbio.linalg import lu as _lu
 
 
-def make_linear_solver(kind: str) -> Tuple[Callable, Callable]:
+def make_linear_solver(kind: str,
+                       bandwidth=None) -> Tuple[Callable, Callable]:
     """Return ``(factor, solve)``.
 
     ``factor(A) -> fact`` where ``A`` is (n, n);
     ``solve(fact, B) -> X`` where ``B`` is (n,) or (n, k).
     The factorization pytree has a fixed structure/shape for a given n, so it
     can live inside ``lax.while_loop`` carry state.
+
+    ``bandwidth=(kl, ku)`` is required for ``kind='banded'`` (the LAPACK
+    gbtrf/gbtrs role for chain-structured pathway Jacobians).
     """
     if kind == "lu":
 
@@ -80,6 +84,22 @@ def make_linear_solver(kind: str) -> Tuple[Callable, Callable]:
 
         def solve(ainv, b):
             return ainv @ b
+
+        return factor, solve
+
+    if kind == "banded":
+        from tpusysbio.linalg import banded as _banded
+
+        if bandwidth is None:
+            raise ValueError("kind='banded' requires bandwidth=(kl, ku)")
+        kl, ku = bandwidth
+
+        def factor(a):
+            return _banded.banded_factor(
+                _banded.band_from_dense(a, kl, ku), kl, ku)
+
+        def solve(fact, b):
+            return _banded.banded_solve(fact, b, kl, ku)
 
         return factor, solve
 

@@ -47,8 +47,12 @@ class OdeModel:
     # rhs_jac:  (t, y, p) -> (n, n) state Jacobian
     # rhs_sens: (t, y, S, p) -> (n, m) forward-sensitivity RHS w.r.t. ALL
     #           model parameters. When absent, AD (jacfwd / jvp) is used.
+    # rhs_sens_dir: (t, y, S, p, C) -> (n, G) reduced forward-sensitivity
+    #           RHS along parameter directions C (m, G) — the fit-parameter
+    #           column block (project sens_mode='theta').
     rhs_jac: Optional[Callable] = None
     rhs_sens: Optional[Callable] = None
+    rhs_sens_dir: Optional[Callable] = None
 
     def __post_init__(self):
         if self.param_names and len(self.param_names) != self.n_params:

@@ -177,7 +177,8 @@ def mapk_huang_ferrell() -> OdeModel:
         name="mapk_huang_ferrell", n_states=n, n_params=net.n_reactions,
         n_obs=3, rhs=rhs, y0=y0, observables=observables,
         param_names=net.reaction_names, state_names=net.species,
-        rhs_jac=rhs_jac, rhs_sens=rhs_sens)
+        rhs_jac=rhs_jac, rhs_sens=rhs_sens,
+        rhs_sens_dir=net.sens_rhs_dir())
 
 
 def mapk_true_params() -> np.ndarray:
@@ -302,7 +303,8 @@ def egfr_like(n_layers: int = 12) -> OdeModel:
         name=f"egfr_like_{n}", n_states=n, n_params=net.n_reactions,
         n_obs=len(obs_rows), rhs=rhs, y0=y0, observables=observables,
         param_names=net.reaction_names, state_names=net.species,
-        rhs_jac=rhs_jac, rhs_sens=rhs_sens)
+        rhs_jac=rhs_jac, rhs_sens=rhs_sens,
+        rhs_sens_dir=net.sens_rhs_dir())
 
 
 def egfr_true_params(n_layers: int = 12, seed: int = 0) -> np.ndarray:

@@ -135,6 +135,30 @@ class MassActionNetwork:
 
         return fs
 
+    def sens_rhs_dir(self) -> Callable:
+        """Closed-form REDUCED forward-sensitivity RHS
+        ``(t, y, Sens, p, C) -> (n, G)`` propagating sensitivities along
+        the parameter directions ``C`` (m, G) — i.e. w.r.t. G fit
+        parameters θ with ``C = dp/dθ`` — instead of all m rate constants.
+
+        Since ``∂rate_j/∂p_j = mono_j`` (rates are ``p_j·mono_j``), the
+        direction-projected parameter term is just ``mono[:, None] * C``:
+        the column block shrinks from m to G with zero extra cost. This is
+        what makes the ~150-rate EGFR config fit-scale on TPU (13 columns
+        instead of 147) — SURVEY.md §3.3's staggered corrector with only
+        the columns the optimizer actually uses."""
+        _, S, _, _ = self._terms()
+        grads = self.rate_grad()
+
+        def fs_dir(t, y, Sens, p, C):
+            del t
+            pc = p.astype(y.dtype)
+            mono, M = grads(y, pc)
+            inner = M @ Sens + mono[:, None] * C.astype(y.dtype)  # (rx, G)
+            return S.astype(y.dtype) @ inner
+
+        return fs_dir
+
     def rhs(self) -> Callable:
         """Return ``f(t, y, p) -> dy/dt`` (p = rate constants, one per
         reaction).

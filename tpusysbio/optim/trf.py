@@ -65,11 +65,25 @@ def trf_fit(
     lower: jax.Array,
     upper: jax.Array,
     config: FitConfig = FitConfig(),
+    subproblem: str = "normal",
 ) -> FitResult:
     """Minimize ``0.5 ||r(θ)||²`` subject to ``lower < θ < upper``.
 
     ``theta0`` is nudged into the strict interior if needed (scipy
     ``make_strictly_feasible``).
+
+    ``subproblem`` selects the trust-region step solver:
+
+    - ``'normal'`` (default): λ-damped scaled normal equations with the
+      in-house LU — Marquardt diagonal scaling, the incumbent.
+    - ``'svd'``: the SVD route of the reference subproblem
+      (``scipy/optimize/_lsq/common.py:57``): SVD of the CL-augmented
+      Jacobian ``[J·diag(d); diag(√(g·dv))]`` in f32 (XLA's f64 SVD is
+      unavailable on this TPU), λI damping in the spectral basis
+      ``p = −V (Σ²+λ)⁻¹ Vᵀ g_h``, lifted to f64 with two iterative-
+      refinement steps against the f64 normal matrix. Measured head to
+      head in bench/experiments/trf_subproblem_bench.py — see
+      docs/PERFORMANCE.md.
     """
     dtype = theta0.dtype
     eps = jnp.finfo(dtype).eps
@@ -113,8 +127,30 @@ def trf_fit(
         diag_h = jnp.maximum(g * dv, 0.0)
         B = Jh.T @ Jh + jnp.diag(diag_h)
         diagB = jnp.clip(jnp.diag(B), 1e-12, None)
-        M = B + st.lam * jnp.diag(diagB)
-        ph = _lu.lu_solve(_lu.lu_factor(M), -gh)
+        if subproblem == "svd":
+            # spectral subproblem: B = J_augᵀJ_aug with
+            # J_aug = [Jh; diag(√diag_h)]; f32 SVD gives V, Σ and the
+            # λI-damped step p_h = −V (Σ²+λ)⁻¹ Vᵀ g_h, refined in f64
+            J_aug = jnp.concatenate(
+                [Jh, jnp.diag(jnp.sqrt(diag_h))], axis=0)
+            _, s, Vt = jnp.linalg.svd(J_aug.astype(jnp.float32),
+                                      full_matrices=False)
+            s = s.astype(dtype)
+            V = Vt.astype(dtype).T
+            inv_spec = 1.0 / (s * s + st.lam)
+
+            def spec_solve(rhs):
+                return V @ (inv_spec * (V.T @ rhs))
+
+            ph = spec_solve(-gh)
+            M_f64 = B + st.lam * jnp.eye(B.shape[0], dtype=dtype)
+            for _ in range(2):  # iterative refinement to f64 accuracy
+                ph = ph + spec_solve(-gh - M_f64 @ ph)
+            damp_diag = jnp.ones_like(diagB)
+        else:
+            M = B + st.lam * jnp.diag(diagB)
+            ph = _lu.lu_solve(_lu.lu_factor(M), -gh)
+            damp_diag = diagB
         p = d * ph
 
         # project onto the strict interior per coordinate (a global stride
@@ -128,7 +164,7 @@ def trf_fit(
         cost_t = 0.5 * jnp.sum(r_t * r_t)
         finite_t = jnp.all(jnp.isfinite(r_t))
 
-        pred = 0.5 * (ph @ (st.lam * diagB * ph - gh))
+        pred = 0.5 * (ph @ (st.lam * damp_diag * ph - gh))
         pred = jnp.maximum(pred, eps)
         rho = (st.cost - cost_t) / pred
         accept = finite_t & (cost_t < st.cost)

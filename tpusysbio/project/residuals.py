@@ -40,7 +40,7 @@ from tpusysbio.project.scale_factors import (
     scale_factors as _scale_factors,
     scale_factors_and_grad as _scale_factors_and_grad,
 )
-from tpusysbio.sens import make_sens_rhs
+from tpusysbio.sens import make_sens_rhs, make_sens_rhs_dir
 from tpusysbio import solvers
 
 
@@ -79,6 +79,14 @@ class Project:
     # ``steady_state=True`` measurements.
     ss_t_relax: float = 10.0
     ss_max_newton: int = 25
+    # Sensitivity column space: 'params' propagates all P model-parameter
+    # columns and chains to θ afterwards (the reference's augmented-system
+    # shape); 'theta' moves the chain rule INSIDE the integrator and
+    # propagates only the G fit-parameter columns — for G ≪ P (EGFR: 13
+    # fit parameters over ~150 rate constants; the MAPK headline: 13 over
+    # 31) the Newton column block shrinks by P/G at identical math.
+    # 'auto' picks 'theta' whenever G < P.
+    sens_mode: str = "auto"
 
     @property
     def n_residuals(self) -> int:
@@ -92,10 +100,25 @@ class Project:
     def _solver_fn(self):
         return solvers.SOLVERS[self.solver]
 
-    def _sim_one(self, p_e, t0, t_end, t_eval, with_sens: bool):
+    @property
+    def _theta_sens(self) -> bool:
+        if self.sens_mode == "theta":
+            return True
+        if self.sens_mode == "params":
+            return False
+        if self.sens_mode != "auto":
+            raise ValueError(f"unknown sens_mode {self.sens_mode!r}")
+        return self.pmap.n_global < self.model.n_params
+
+    def _sim_one(self, p_e, t0, t_end, t_eval, has_ss, with_sens: bool,
+                 C_e=None):
+        """Simulate one experiment. With ``C_e`` (P, G) — the parameter
+        chain dp/dθ — sensitivities are propagated directly in θ space
+        (G columns); otherwise in model-parameter space (P columns)."""
         model = self.model
         solve = self._solver_fn()
         y0 = model.y0(p_e)
+        theta_sens = C_e is not None
 
         def f(t, y):
             # dtype-following: enables the stepper's mixed-precision mode
@@ -105,12 +128,20 @@ class Project:
                else (lambda t, y: model.rhs_jac(t, y,
                                                 p_e.astype(y.dtype))))
         if with_sens:
-            if model.rhs_sens is not None:
-                sens_rhs = lambda t, y, S: model.rhs_sens(  # noqa: E731
-                    t, y, S, p_e)
+            if theta_sens:
+                if model.rhs_sens_dir is not None:
+                    sens_rhs = lambda t, y, S: model.rhs_sens_dir(  # noqa: E731
+                        t, y, S, p_e, C_e)
+                else:
+                    sens_rhs = make_sens_rhs_dir(model.rhs, p_e, C_e)
+                s0 = jax.jacfwd(model.y0)(p_e) @ C_e
             else:
-                sens_rhs = make_sens_rhs(model.rhs, p_e)
-            s0 = jax.jacfwd(model.y0)(p_e)
+                if model.rhs_sens is not None:
+                    sens_rhs = lambda t, y, S: model.rhs_sens(  # noqa: E731
+                        t, y, S, p_e)
+                else:
+                    sens_rhs = make_sens_rhs(model.rhs, p_e)
+                s0 = jax.jacfwd(model.y0)(p_e)
             res = solve(f, (t0, t_end), y0, t_eval, config=self.config,
                         sens_rhs=sens_rhs, s0=s0, jac=jac)
         else:
@@ -125,18 +156,20 @@ class Project:
 
         if with_sens:
             P = p_e.shape[0]
-            eye = jnp.eye(P, dtype=p_e.dtype)
+            # parameter directions per sensitivity column: dp/dθ columns
+            # in θ mode, the identity in params mode
+            dirs = C_e if theta_sens else jnp.eye(P, dtype=p_e.dtype)
 
-            def obs_dcol(y, s_col, e_col):
+            def obs_dcol(y, s_col, c_col):
                 return jax.jvp(lambda yy, pp: model.observables(yy, pp),
-                               (y, p_e), (s_col, e_col))[1]
+                               (y, p_e), (s_col, c_col))[1]
 
-            # vmap over time, then over parameter columns
+            # vmap over time, then over sensitivity columns
             def per_t(y, S):
-                return jax.vmap(obs_dcol, in_axes=(None, 1, 0),
-                                out_axes=1)(y, S, eye)
+                return jax.vmap(obs_dcol, in_axes=(None, 1, 1),
+                                out_axes=1)(y, S, dirs)
 
-            obs_sens = jax.vmap(per_t)(res.ys, res.sens)  # (T, n_obs, P)
+            obs_sens = jax.vmap(per_t)(res.ys, res.sens)  # (T, n_obs, G|P)
         else:
             obs_sens = None
 
@@ -152,18 +185,29 @@ class Project:
             obs_ss = model.observables(ss.y, p_e)  # (n_obs,)
             if with_sens:
                 P = p_e.shape[0]
-                eye = jnp.eye(P, dtype=p_e.dtype)
+                dirs_ss = (C_e if theta_sens
+                           else jnp.eye(P, dtype=p_e.dtype))
+                # IFT sensitivities come back in model-parameter space;
+                # chain to θ columns in theta mode
+                ss_sens = (ss.sens @ C_e) if theta_sens else ss.sens
 
-                def obs_ss_dcol(s_col, e_col):
+                def obs_ss_dcol(s_col, c_col):
                     return jax.jvp(
                         lambda yy, pp: model.observables(yy, pp),
-                        (ss.y, p_e), (s_col, e_col))[1]
+                        (ss.y, p_e), (s_col, c_col))[1]
 
-                obs_ss_sens = jax.vmap(obs_ss_dcol, in_axes=(1, 0),
-                                       out_axes=1)(ss.sens, eye)
+                obs_ss_sens = jax.vmap(obs_ss_dcol, in_axes=(1, 1),
+                                       out_axes=1)(ss_sens, dirs_ss)
             else:
                 obs_ss_sens = None
-            status = jnp.where(ss.converged, status, STATUS_SS_FAIL)
+            # Only experiments that actually have steady-state rows can be
+            # failed by a non-converged equilibrium solve: a timecourse-only
+            # experiment in the same batch (the solve still runs for it —
+            # under vmap a cond is a select, so gating the solve buys
+            # nothing) must not inherit STATUS_SS_FAIL from a solve whose
+            # result it never reads.
+            status = jnp.where(has_ss & ~ss.converged, STATUS_SS_FAIL,
+                               status)
         else:
             obs_ss, obs_ss_sens = None, None
         return (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
@@ -180,10 +224,22 @@ class Project:
             sh = NamedSharding(self.experiment_mesh, PartitionSpec(axis))
             p_all = jax.lax.with_sharding_constraint(p_all, sh)
 
-        sim_fn = lambda p_e, t0, t_end, t_eval: self._sim_one(  # noqa: E731
-            p_e, t0, t_end, t_eval, with_sens=with_jac)
-        (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
-         nsteps) = jax.vmap(sim_fn)(p_all, b.t0, b.t_end, b.t_eval)
+        theta_mode = with_jac and self._theta_sens
+        has_ss_e = b.m_is_ss.any(axis=1)  # (E,) experiments with SS rows
+        if theta_mode:
+            chain = self.pmap.chain(theta)  # (E, P, G) = dp/dθ rows
+            sim_fn = lambda p_e, t0, t_end, t_eval, has_ss, C_e: \
+                self._sim_one(p_e, t0, t_end, t_eval, has_ss,
+                              with_sens=True, C_e=C_e)  # noqa: E731
+            (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
+             nsteps) = jax.vmap(sim_fn)(p_all, b.t0, b.t_end, b.t_eval,
+                                        has_ss_e, chain)
+        else:
+            sim_fn = lambda p_e, t0, t_end, t_eval, has_ss: self._sim_one(  # noqa: E731
+                p_e, t0, t_end, t_eval, has_ss, with_sens=with_jac)
+            (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
+             nsteps) = jax.vmap(sim_fn)(p_all, b.t0, b.t_end, b.t_eval,
+                                        has_ss_e)
 
         # gather at measurement (time, observable) indices, per experiment;
         # steady-state rows gather from the equilibrium observables instead
@@ -198,16 +254,21 @@ class Project:
 
         if with_jac:
             def gather_s(traj_s, t_idx, o_idx):
-                return traj_s[t_idx, o_idx, :]  # (M, P)
+                return traj_s[t_idx, o_idx, :]  # (M, G|P)
 
             dsim_p = jax.vmap(gather_s)(obs_sens, b.m_t_idx, b.m_obs)
             if b.has_steady:
                 dsim_ss = jax.vmap(lambda s_ss, o_idx: s_ss[o_idx, :])(
                     obs_ss_sens, b.m_obs)
                 dsim_p = jnp.where(b.m_is_ss[:, :, None], dsim_ss, dsim_p)
-            # chain to θ (log transform folded in): (E, M, P) @ (E, P, G)
-            chain = self.pmap.chain(theta)
-            dsim = jnp.einsum("emp,epg->emg", dsim_p, chain)
+            if theta_mode:
+                # columns already ARE dθ derivatives (chain rule applied
+                # inside the integrator)
+                dsim = dsim_p
+            else:
+                # chain to θ (log transform folded in): (E,M,P) @ (E,P,G)
+                chain = self.pmap.chain(theta)
+                dsim = jnp.einsum("emp,epg->emg", dsim_p, chain)
         else:
             dsim = None
         return sim, dsim, status, nsteps

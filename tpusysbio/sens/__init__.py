@@ -1,1 +1,4 @@
-from tpusysbio.sens.forward import make_sens_rhs  # noqa: F401
+from tpusysbio.sens.forward import (  # noqa: F401
+    make_sens_rhs,
+    make_sens_rhs_dir,
+)

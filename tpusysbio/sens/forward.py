@@ -42,3 +42,26 @@ def make_sens_rhs(rhs: Callable, p: jax.Array) -> Callable:
         return jax.vmap(col, in_axes=(1, 0), out_axes=1)(S, E)
 
     return sens_rhs
+
+
+def make_sens_rhs_dir(rhs: Callable, p: jax.Array,
+                      C: jax.Array) -> Callable:
+    """Build the REDUCED ``(t, y, S) -> dS/dt`` propagating sensitivities
+    only along the parameter directions ``C`` (m, G) — sensitivities
+    w.r.t. G fit parameters θ with ``C = dp/dθ``, instead of all m model
+    parameters. Each of the G columns is one JVP along ``(S[:, g],
+    C[:, g])``; for G ≪ m (the EGFR-class configs: 13 fit parameters over
+    ~150 rate constants) this shrinks the column block by m/G with no
+    accuracy change (the chain rule moves inside the integrator)."""
+
+    def sens_rhs(t, y, S):
+        pc = p.astype(y.dtype)
+        Cc = C.astype(y.dtype)
+
+        def col(s_col, c_col):
+            return jax.jvp(lambda yy, pp: rhs(t, yy, pp),
+                           (y, pc), (s_col, c_col))[1]
+
+        return jax.vmap(col, in_axes=(1, 1), out_axes=1)(S, Cc)
+
+    return sens_rhs

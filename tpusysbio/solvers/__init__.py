@@ -11,6 +11,10 @@ host callbacks, fully vmappable over multi-start ensembles.
                    iteration, fixed work per step — the best lockstep-vmap
                    behavior for ensembles (SURVEY.md §7 M8).
 - ``dopri5``     — explicit RK45 (Dormand-Prince) for non-stiff problems.
+- ``adams``      — variable-order (2-9) Adams–Bashforth–Moulton PECE
+                   multistep: 2 RHS evaluations per step, no factorizations
+                   — the LSODA non-stiff phase (ODEPACK semantics,
+                   ``scipy/integrate/_ivp/lsoda.py``) done TPU-native.
 """
 
 from tpusysbio.solvers.common import (  # noqa: F401
@@ -21,6 +25,7 @@ from tpusysbio.solvers.common import (  # noqa: F401
     STATUS_MAX_STEPS,
     IntegrateResult,
 )
+from tpusysbio.solvers.adams import adams_solve  # noqa: F401
 from tpusysbio.solvers.auto import auto_solve  # noqa: F401
 from tpusysbio.solvers.bdf import bdf_solve  # noqa: F401
 from tpusysbio.solvers.dopri5 import dopri5_solve  # noqa: F401
@@ -29,6 +34,7 @@ from tpusysbio.solvers.rosenbrock import rosenbrock_solve  # noqa: F401
 from tpusysbio.solvers.steady_state import steady_state  # noqa: F401
 
 SOLVERS = {
+    "adams": adams_solve,
     "auto": auto_solve,
     "bdf": bdf_solve,
     "radau": radau_solve,

@@ -6,10 +6,13 @@ switching is a poor fit for one jitted TPU program (two live method states
 in lockstep, data-dependent branching on every step), so the TPU-native
 ``auto`` strategy switches at *segment* granularity with a WARM HANDOFF:
 
-1. integrate with the explicit RK45, which aborts with ``STATUS_STIFF``
-   the moment its controlled step size implies the remaining interval
-   cannot finish within the step budget (the stiffness detector —
-   cheap: no Jacobians, no solves);
+1. integrate with an explicit method — RK45 by default, or the
+   variable-order Adams–Bashforth–Moulton multistep (solvers/adams.py:
+   LSODA's actual non-stiff half; see ``auto_solve``'s ``explicit``
+   docstring for the measured TPU regime analysis) — which aborts with
+   ``STATUS_STIFF`` the moment its controlled step size implies the
+   remaining interval cannot finish within the step budget (the
+   stiffness detector — cheap: no Jacobians, no solves);
 2. the BDF stepper CONTINUES from the explicit phase's final ``(t, y, S)``
    — never restarting at t0 — and the dense outputs are stitched.
 
@@ -36,6 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpusysbio.config import SolverConfig
+from tpusysbio.solvers.adams import adams_solve
 from tpusysbio.solvers.bdf import bdf_solve
 from tpusysbio.solvers.common import STATUS_DONE, IntegrateResult
 from tpusysbio.solvers.dopri5 import dopri5_solve
@@ -51,19 +55,33 @@ def auto_solve(
     s0=None,
     jac: Optional[Callable] = None,
     nonstiff_budget: Optional[int] = None,
+    explicit: str = "rk45",
 ) -> IntegrateResult:
     """LSODA-role integration: explicit attempt, stiff warm-handoff.
 
-    ``nonstiff_budget``: RK45 step budget; stiffness is declared as soon
-    as the projected remaining steps exceed what is left of it (default
-    ``max(config.max_steps // 4, 64)``).
+    ``nonstiff_budget``: explicit-phase step budget; stiffness is declared
+    as soon as the projected remaining steps exceed what is left of it
+    (default ``max(config.max_steps // 4, 64)``).
+
+    ``explicit``: the non-stiff method. ``'adams'`` is the variable-order
+    Adams–Bashforth–Moulton multistep (2 RHS evaluations/step — the
+    actual LSODA non-stiff half, ODEPACK semantics); ``'rk45'``
+    (Dormand–Prince) is the DEFAULT because on TPU the economics invert:
+    measured on vmapped ensembles (docs/PERFORMANCE.md round-3 Adams
+    section), Adams spends ~30% fewer RHS evaluations but takes ~2.2×
+    more (smaller) steps, and with cheap mass-action RHS the sequential
+    per-step cost — not evaluation count — dominates, so RK45 wins
+    wall-clock ~5-12×. Choose ``'adams'`` when the RHS is expensive
+    enough that evaluation count rules (the regime LSODA's design
+    assumes), or for ODEPACK-semantics parity.
     """
     budget = nonstiff_budget or max(config.max_steps // 4, 64)
     cfg_rk = dataclasses.replace(config, max_steps=budget)
     t_eval = jnp.asarray(t_eval)
 
-    res_rk = dopri5_solve(f, t_span, y0, t_eval, config=cfg_rk,
-                          sens_rhs=sens_rhs, s0=s0, stiff_exit=True)
+    explicit_solve = {"adams": adams_solve, "rk45": dopri5_solve}[explicit]
+    res_rk = explicit_solve(f, t_span, y0, t_eval, config=cfg_rk,
+                            sens_rhs=sens_rhs, s0=s0, stiff_exit=True)
     m = 0 if s0 is None else s0.shape[1]
 
     def fallback():

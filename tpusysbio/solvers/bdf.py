@@ -182,7 +182,8 @@ def bdf_solve(
         def jac(t, y):
             return jax.jacfwd(lambda yy: f(t, yy))(y)
 
-    factor_fn, solve_fn = make_linear_solver(config.linear_solver)
+    factor_fn, solve_fn = make_linear_solver(config.linear_solver,
+                                             config.jac_bandwidth)
 
     # Mixed-precision hot loop (config.mixed_precision): RHS/Jacobian/
     # solves in f32, accumulation + control in f64 (screening mode).
@@ -375,12 +376,20 @@ def bdf_solve(
         nlu = st.nlu + jnp.where(lu_valid, 0, 1)
         fact32 = _fact32(fact) if split else None
 
-        # --- modified Newton, fixed NEWTON_MAXITER trips, masked
-        #     (bdf.py:36-69) ---
+        # --- modified Newton, early-exit while_loop, masked
+        #     (bdf.py:36-69). Under vmap the loop runs the batch UNION of
+        #     per-member Newton trips (every member's updates stay masked
+        #     by ``active``, so results are identical to the fixed-trip
+        #     form) — typically 1-2 trips instead of always
+        #     NEWTON_MAXITER, and each trip is one RHS eval + solve. ---
         c_b = tuple(c.astype(dt) for _, dt in parts)
 
-        def newton_body(it, carry):
-            Y, d, dy_norm_old, n_iter, converged, failed = carry
+        def newton_cond(carry):
+            *_, n_iter_c, converged_c, failed_c, it = carry
+            return (it < NEWTON_MAXITER) & ~(converged_c | failed_c)
+
+        def newton_body(carry):
+            Y, d, dy_norm_old, n_iter, converged, failed, it = carry
             active = ~(converged | failed)
             Fv = faug_b(t_new, Y)
             nonfinite = ~jnp.stack(
@@ -410,14 +419,15 @@ def bdf_solve(
             failed = failed | (active & (nonfinite | diverged))
             n_iter = n_iter + jnp.where(active, 1, 0)
             dy_norm_old = jnp.where(ok, dy_norm, dy_norm_old)
-            return Y, d, dy_norm_old, n_iter, converged, failed
+            return Y, d, dy_norm_old, n_iter, converged, failed, it + 1
 
         init = (y_predict, bmap(lambda yp, i: jnp.zeros_like(yp), y_predict),
                 jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
-                jnp.asarray(False), jnp.asarray(False))
+                jnp.asarray(False), jnp.asarray(False),
+                jnp.zeros((), jnp.int32))
         with jax.named_scope("bdf.newton"):
-            Y_new, d, _, n_iter, converged, _ = lax.fori_loop(
-                0, NEWTON_MAXITER, newton_body, init)
+            Y_new, d, _, n_iter, converged, _, _ = lax.while_loop(
+                newton_cond, newton_body, init)
         nfev = st.nfev + n_iter
 
         # --- outcome classification (bdf.py:362-401) ---
@@ -540,17 +550,25 @@ def bdf_solve(
         # interpolating polynomial, matching SciPy's _dense_output_impl.
         def interp_part(Dp, tv):
             dt = Dp.dtype
+            # with config.dense_f32, the interpolation CORRECTION (on top
+            # of the exact D[0] anchor) runs in f32 even for f64 parts:
+            # ~eps32·|correction| ≪ rtol·|y| on outputs, and it removes
+            # the largest per-accepted-step block of emulated-f64 MACs on
+            # TPU (41 t_eval × MAX_ORDER × n). See SolverConfig.dense_f32
+            # for why it is opt-in (FD consumers of outputs).
+            cdt = f32 if config.dense_f32 else dt
             jj = jnp.arange(MAX_ORDER, dtype=dtype)
             t_shift = t_new - h_new * jj
             denom = h_new * (1.0 + jj)
             # the time differences cancel catastrophically in f32 — form
-            # x in f64, then run the polynomial in the part's dtype
-            x = ((tv[:, None] - t_shift[None, :]) / denom).astype(dt)
-            p = jnp.cumprod(x, axis=1)
+            # x in f64, then run the polynomial in the correction dtype
+            x = (tv[:, None] - t_shift[None, :]) / denom
+            p = jnp.cumprod(x.astype(cdt), axis=1)
             p = jnp.where(ks5[None, :] <= order_new, p,
-                          jnp.zeros((), dt))
-            return Dp[0][None] + jnp.einsum("tj,jnk->tnk", p,
-                                            Dp[1:MAX_ORDER + 1])
+                          jnp.zeros((), cdt))
+            corr = jnp.einsum("tj,jnk->tnk", p,
+                              Dp[1:MAX_ORDER + 1].astype(cdt))
+            return Dp[0][None] + corr.astype(dt)
 
         with jax.named_scope("bdf.dense_output"):
             ys_acc = bmap(

@@ -139,7 +139,8 @@ def radau_solve(
         def jac(t, y):
             return jax.jacfwd(lambda yy: f(t, yy))(y)
 
-    factor_fn, solve_fn = make_linear_solver(config.linear_solver)
+    factor_fn, solve_fn = make_linear_solver(config.linear_solver,
+                                             config.jac_bandwidth)
     eps = jnp.finfo(dtype).eps
     newton_tol = max(10 * float(eps) / config.rtol,
                      min(0.03, config.rtol ** 0.5))

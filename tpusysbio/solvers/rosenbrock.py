@@ -104,7 +104,8 @@ def rosenbrock_solve(
         return jax.jvp(lambda tt: faug(tt, Y), (t,),
                        (jnp.ones((), dtype),))[1]
 
-    factor_fn, solve_fn = make_linear_solver(config.linear_solver)
+    factor_fn, solve_fn = make_linear_solver(config.linear_solver,
+                                             config.jac_bandwidth)
     rtol, atol = config.rtol, config.atol
     max_step = jnp.asarray(config.max_step, dtype)
     I_n = jnp.eye(n, dtype=dtype)
