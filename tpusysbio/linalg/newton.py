@@ -78,12 +78,21 @@ def make_linear_solver(kind: str,
         from tpusysbio.linalg import pallas_lu
 
         def factor(a):
-            # n > pallas_lu.MAX_KERNEL_N (VMEM budget) falls back inside
-            # inverse() to f32-LU + refinement (e.g. EGFR n=97).
-            return pallas_lu.inverse(a)
+            # f32 (screening): plain f32 kernel inverse; solve is one
+            # matmul. f64 (tight): LAZY factorization — keep the f32
+            # inverse + A, lift precision per solve with O(n²) iterative
+            # refinement instead of O(n³) emulated-f64 matrix refinement
+            # (which a vmapped while_loop would re-run every iteration).
+            # n > pallas_lu.MAX_KERNEL_N dispatches internally (block-
+            # Schur ≤128, f32-LU beyond), e.g. EGFR n=97.
+            if a.dtype == jnp.float32:
+                return pallas_lu.inverse(a)
+            return pallas_lu.factor_for_solve(a)
 
-        def solve(ainv, b):
-            return ainv @ b
+        def solve(fact, b):
+            if isinstance(fact, tuple):
+                return pallas_lu.solve_refined(fact, b)
+            return fact @ b
 
         return factor, solve
 

@@ -367,3 +367,42 @@ def inverse(a: jax.Array, interpret: bool | None = None) -> jax.Array:
     if a.dtype == jnp.float32:
         return _INV_F32(a)
     return _INV_F64(a)
+
+
+def factor_for_solve(a: jax.Array):
+    """Newton-solve factorization with LAZY precision lifting.
+
+    ``inverse(a_f64)`` refines the whole f32 kernel inverse up to ~1e-13
+    with Newton-Schulz MATRIX steps — six emulated-f64 (n,n)@(n,n)
+    matmuls. Inside a vmapped BDF/Radau while_loop the ``lax.cond``
+    guarding factorization reuse lowers to a select, so that O(n³)
+    emulated-f64 work ran on EVERY step attempt of the whole ensemble and
+    dominated the tight-path step time (docs/PERFORMANCE.md round-3 tight
+    analysis). This factorization instead keeps only the f32 inverse plus
+    the original matrix; precision is recovered per SOLVE with O(n²)
+    iterative refinement (``solve_refined``) — the classic
+    LAPACK ``gesvx``-style mixed-precision scheme (SURVEY.md §7 hard
+    part 3), placed where the TPU's f64 emulation cost is smallest.
+    """
+    return (inverse(a.astype(jnp.float32)), a)
+
+
+def solve_refined(fact, b: jax.Array, steps: int = 2) -> jax.Array:
+    """Solve ``A x = b`` from ``factor_for_solve(A)``.
+
+    f32 RHS (sensitivity columns, screening mode): one f32 matmul.
+    f64 RHS: f32 inverse application + ``steps`` rounds of iterative
+    refinement with the residual formed in f64 — per-step error contracts
+    by ~eps32·κ(A), so two rounds reach ~(eps32·κ)³ + eps64·κ, ample for
+    the Newton corrections (whose fixed point ``residual = 0`` is exact
+    regardless of solve precision).
+    """
+    x32, a = fact
+    f32 = jnp.float32
+    if b.dtype == f32 or a.dtype == f32:
+        return (x32 @ b.astype(f32)).astype(b.dtype)
+    y = (x32 @ b.astype(f32)).astype(a.dtype)
+    for _ in range(steps):
+        r = b - a @ y
+        y = y + (x32 @ r.astype(f32)).astype(a.dtype)
+    return y

@@ -335,19 +335,23 @@ def bdf_solve(
         too_small = (h_abs < min_step) & ~st.last_accepted
         h_clamped = jnp.clip(h_abs, min_step, max_step)
         pre_clamp = st.last_accepted & (h_clamped != h_abs)
-        D = bmap(lambda Dp, i: jnp.where(
-            pre_clamp, _change_D(Dp, order, h_clamped / h_abs), Dp), D)
+        pre_factor = jnp.where(pre_clamp, h_clamped / h_abs,
+                               jnp.ones((), dtype))
         n_equal_steps = jnp.where(pre_clamp, 0, n_equal_steps)
         h_abs = jnp.where(st.last_accepted, h_clamped, h_abs)
 
-        # clip the final step to t_bound, rescaling D (bdf.py:345-350)
+        # clip the final step to t_bound (bdf.py:345-350). The clamp and
+        # clip rescalings compose multiplicatively (change_D represents
+        # the h -> f*h scaling group), so ONE masked transform serves both
+        # instead of two full passes over D.
         t_new_raw = t + h_abs
         clipped = t_new_raw > t_bound
         t_new = jnp.where(clipped, t_bound, t_new_raw)
         h = t_new - t
         clip_factor = jnp.where(clipped, h / h_abs, jnp.ones((), dtype))
         D = bmap(lambda Dp, i: jnp.where(
-            clipped, _change_D(Dp, order, clip_factor), Dp), D)
+            pre_clamp | clipped,
+            _change_D(Dp, order, pre_factor * clip_factor), Dp), D)
         n_equal_steps = jnp.where(clipped, 0, n_equal_steps)
         lu_valid = lu_valid & ~clipped
         h_abs = h
@@ -455,35 +459,25 @@ def bdf_solve(
         reject = converged & ((error_norm > 1.0) | bad_err)
         accept = converged & ~reject
 
-        # --- D update on accept (bdf.py:409-415) ---
-        D_acc = bmap(
-            lambda Dp, dp, i: Dp.at[order + 2].set(dp - Dp[order + 1])
-                                .at[order + 1].set(dp),
-            D, d)
-
-        # D[i] += D[i+1] for i = order..0: the downward sweep telescopes to
-        # D_new[i] = Σ_{j=i}^{order+1} D[j] for i <= order (identity above)
-        # — ONE masked (D_ROWS x D_ROWS) transform instead of MAX_ORDER+1
-        # sequential full-array updates (profiled: the sweep was ~9% of
-        # device time as 6 HBM-bound fusions per while iteration).
-        ri = rows[:, None]
-        rj = rows[None, :]
-        cum_mask = jnp.where(ri <= order,
-                             (rj >= ri) & (rj <= order + 1),
-                             ri == rj)
-        D_acc = bmap(
-            lambda Dp, i: jnp.einsum("ij,j...->i...",
-                                     cum_mask.astype(Dp.dtype), Dp),
-            D_acc)
-
+        # --- D update on accept (bdf.py:409-415), composed below into ONE
+        #     linear map on D. The accept-path update (append d at rows
+        #     order+1/order+2, then the downward telescoping sweep) is
+        #     ``M @ D + u ⊗ d`` with
+        #       rows i<=order:  Σ_{j=i}^{order} D[j] + d
+        #       row order+1:    d
+        #       row order+2:    d - D[order+1]
+        #       rows above:     identity
+        #     The order-adaptation error rows of the would-be D_acc are
+        #     read off directly instead of materializing it.
         n_equal_acc = n_equal_steps + 1
         # --- order/step adaptation once n_equal > order (bdf.py:421-448) ---
         do_adapt = accept & (n_equal_acc >= order + 1)
-        pdt = D_acc[0].dtype
+        pdt = D[0].dtype
         ec_m = error_const[jnp.maximum(order - 1, 0)].astype(pdt)
         ec_p = error_const[jnp.minimum(order + 1, MAX_ORDER + 1)].astype(pdt)
-        err_m = ec_m * D_acc[0][order]
-        err_p = ec_p * D_acc[0][order + 2]
+        # D_acc[order] = D[order] + d;  D_acc[order+2] = d - D[order+1]
+        err_m = ec_m * (jnp.take(D[0], order, axis=0) + d[0])
+        err_p = ec_p * (d[0] - jnp.take(D[0], order + 1, axis=0))
         inf_ = jnp.asarray(jnp.inf, dtype)
         if config.sens_error_control and m and not split:
             scale_full = atol + rtol * jnp.abs(Y_new[0])
@@ -530,9 +524,40 @@ def bdf_solve(
                       jnp.where(do_adapt, factor_adapt, 1.0)))
         change = case_C | reject | do_adapt
         order_new = jnp.where(do_adapt, order_adapt, order)
-        D_base = bmap(lambda Da, Dp, i: jnp.where(accept, Da, Dp), D_acc, D)
-        D_new = bmap(lambda Dp, i: jnp.where(
-            change, _change_D(Dp, order_new, h_factor), Dp), D_base)
+
+        # Compose (change_D rescale ∘ accept-merge ∘ accept-update) into
+        # one (D_ROWS, D_ROWS) matrix W and rank-one weight v, then apply
+        # with a single pass over each D part: D_new = W @ D + v ⊗ d.
+        # Replaces 2 dynamic-row writes + 3 full-array passes per part
+        # (profiled: the D bookkeeping was the largest non-linalg block of
+        # emulated-f64 work on the tight path).
+        ri = rows[:, None]
+        rj = rows[None, :]
+        eyeD = (ri == rj).astype(dtype)
+        acc_M = jnp.where(
+            ri <= order, ((rj >= ri) & (rj <= order)).astype(dtype),
+            jnp.where(ri == order + 2,
+                      -(rj == order + 1).astype(dtype),
+                      ((ri == rj) & (ri > order + 2)).astype(dtype)))
+        acc_u = (rows <= order + 2).astype(dtype)
+        Ma = jnp.where(accept, acc_M, eyeD)
+        ua = jnp.where(accept, acc_u, jnp.zeros((), dtype))
+        # change_D's transform as a full D_ROWS² matrix at (order_new,
+        # h_factor), identity outside the active block (cf. _change_D)
+        P = (_compute_R(h_factor, dtype)
+             @ _compute_R(jnp.ones((), dtype), dtype))
+        Ppad = jnp.zeros((D_ROWS, D_ROWS), dtype)
+        Ppad = Ppad.at[: MAX_ORDER + 1, : MAX_ORDER + 1].set(P)
+        in_block = (ri <= order_new) & (rj <= order_new)
+        T = jnp.where(in_block, Ppad.T, eyeD)
+        Tc = jnp.where(change, T, eyeD)
+        W = Tc @ Ma
+        v = Tc @ ua
+        D_new = bmap(
+            lambda Dp, dp, i: jnp.einsum(
+                "ij,j...->i...", W.astype(Dp.dtype), Dp)
+            + v.astype(Dp.dtype)[:, None, None] * dp[None],
+            D, d)
         h_new = h_abs * jnp.where(change, h_factor, 1.0)
 
         t_next = jnp.where(accept, t_new, t)
