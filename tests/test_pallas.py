@@ -51,3 +51,64 @@ def test_large_n_lu_fallback():
     a = jnp.asarray(np.eye(n) - 0.05 * rng.normal(size=(n, n)))
     x = pallas_lu.inverse(a)
     assert float(jnp.max(jnp.abs(x @ a - jnp.eye(n)))) < 1e-11
+
+
+def test_error_free_transforms_survive_jit():
+    """TwoSum/TwoProd must stay error-free UNDER JIT: LLVM/Mosaic FMA
+    contraction silently rewrote the Dekker-split form ``ah*bh - fl(a*b)``
+    into ``fma(ah, bh, -a*b_exact)``, deleting the rounding error the
+    transform captures (jit matvec error 1.2e-7 vs 1.3e-14 eager). The
+    rewritten _two_prod builds the product from four exact partials, so
+    any contraction is value-identical; this guards the property."""
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+
+    def df_dot(a, b):
+        # worst case for contraction: products feeding a TwoSum chain
+        p, e = pallas_lu._two_prod(a, b)
+        k = a.shape[0]
+        while k > 1:
+            k //= 2
+            s, err = pallas_lu._two_sum(p[:k], p[k:2 * k])
+            e = e[:k] + e[k:2 * k] + err
+            p = s
+        return p[0], e[0]
+
+    hi, lo = jax.jit(df_dot)(a, b)
+    exact = float(np.sum(np.float64(np.asarray(a)) * np.float64(np.asarray(b))))
+    got = float(hi) + float(lo)
+    assert abs(got - exact) < 1e-10 * max(1.0, abs(exact))
+
+
+@pytest.mark.parametrize("n", [5, 22, 30])
+def test_fused_refine_solve_accuracy(n):
+    """The fused double-float solve+refine kernel reaches ~1e-11 relative
+    accuracy on Newton-shaped f64 systems (vs jnp f64 reference), for any
+    n within the kernel budget, including non-power-of-two sizes."""
+    rng = np.random.default_rng(n)
+    B = 48
+    a = jnp.asarray(np.eye(n)[None] - 0.08 * rng.standard_normal((B, n, n)))
+    b = jnp.asarray(rng.standard_normal((B, n, 1)))
+    fact = pallas_lu.factor_for_solve(a)
+    y = pallas_lu.solve_refined(fact, b)
+    y_ref = np.linalg.solve(np.asarray(a), np.asarray(b))
+    rel = np.max(np.abs(np.asarray(y) - y_ref) / (np.abs(y_ref) + 1e-30))
+    assert rel < 1e-9
+    assert y.dtype == b.dtype
+
+
+def test_fused_refine_solve_nested_vmap():
+    """Nested vmaps collapse into one kernel batch (custom_vmap), and the
+    fused path matches the unbatched result."""
+    rng = np.random.default_rng(0)
+    n = 12
+    a = jnp.asarray(np.eye(n) - 0.08 * rng.standard_normal((3, 4, n, n)))
+    b = jnp.asarray(rng.standard_normal((3, 4, n, 1)))
+
+    def solve_one(a, b):
+        return pallas_lu.solve_refined(pallas_lu.factor_for_solve(a), b)
+
+    y = jax.vmap(jax.vmap(solve_one))(a, b)
+    y_ref = np.linalg.solve(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=0, atol=1e-10)

@@ -369,6 +369,211 @@ def inverse(a: jax.Array, interpret: bool | None = None) -> jax.Array:
     return _INV_F64(a)
 
 
+# ---------------------------------------------------------------------------
+# Fused solve + double-float iterative refinement kernel
+#
+# The lazy factorization (factor_for_solve) moved the precision lifting from
+# the matrix to the solve; profiling the tight path shows the remaining cost
+# is XLA's PRECISION-EMULATION overhead on tiny arrays: the f64 residual
+# matvec lowers to emulated-f64 select/DUS chains, and each f32 `x32 @ b` at
+# highest precision becomes a 6-pass bf16 MXU algorithm with data-formatting
+# copies (hlo_stats: compare-select + dynamic-update-slice on
+# [*,B,n,n]-shaped buffers ≈ 60% of tight-step device time). This kernel
+# runs the whole sequence on the VPU inside ONE pallas_call, representing
+# f64 quantities as double-float (hi, lo) f32 pairs with error-free
+# transforms (Dekker TwoProd / Knuth TwoSum, Ogita-Rump-Oishi compensated
+# pairwise dot) — VPU f32 arithmetic is exact, so no emulation passes exist:
+#
+#     y  = X b                      (f32 apply)
+#     repeat `steps`:  r = b − A y  (double-float, compensated)
+#                      y += X r     (f32 correction, double-float update)
+#
+# Per-step error contracts by ~eps32·κ(A) exactly as the XLA path, but a
+# step costs ~10 f32 VPU passes over (n,n,B) VMEM blocks instead of
+# dozens of dispatched emulation ops. A/B on MAPK-22 tight (docs/
+# PERFORMANCE.md round-3): XLA 2-step refinement 165.9 int/s, no
+# refinement 305.4 — this kernel closes most of that gap at full
+# refinement accuracy.
+# ---------------------------------------------------------------------------
+
+_REFINE_MAX_N = 32    # npad² VMEM budget; larger n falls back to XLA refine
+_REFINE_STEPS = 3
+
+
+def _two_sum(a, b):
+    """Knuth error-free addition: a + b = s + e exactly."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _split_hi(a):
+    """Upper 12 mantissa bits of f32 ``a`` by bit masking (sign/exponent
+    kept, low 12 mantissa bits zeroed). Unlike the Veltkamp 2^12+1
+    multiply split, this cannot be broken by compiler FMA contraction —
+    measured: XLA-CPU fuses ``a*c - (a*c - a)`` into FMAs that destroy
+    the split (jit matvec error 1.2e-7 vs 1.3e-14 eager)."""
+    ai = lax.bitcast_convert_type(a, jnp.int32)
+    return lax.bitcast_convert_type(ai & jnp.int32(-4096), jnp.float32)
+
+
+def _two_prod(a, b):
+    """Error-free product: a·b = p + e to ~eps² relative accuracy.
+
+    COMPILER-PROOF BY CONSTRUCTION: the classic Dekker form subtracts the
+    rounded product ``p = fl(a·b)`` from exact partials — LLVM/Mosaic FMA
+    contraction rewrites ``ah·bh − p`` into ``fma(ah, bh, −a·b_exact)``,
+    deleting exactly the rounding error the transform exists to capture
+    (measured: jit matvec error 1.2e-7 vs 1.3e-14 eager; HLO unchanged, so
+    the contraction happens at codegen). Instead ``p`` is assembled from
+    the four EXACT partial products (12×12 mantissa bits ≤ 24) with
+    TwoSum: every multiply that reaches an add is exactly representable,
+    so ``fma(x, y, z) == round(x·y + z) == round(fl(x·y) + z)`` and any
+    contraction the backend applies is value-identical."""
+    ah = _split_hi(a)
+    al = a - ah
+    bh = _split_hi(b)
+    bl = b - bh
+    s1, t1 = _two_sum(ah * bl, al * bh)
+    p, t2 = _two_sum(ah * bh, s1)
+    e = t1 + t2 + al * bl
+    return p, e
+
+
+def _make_refine_kernel(npad: int, steps: int):
+    def kernel(x_ref, ahi_ref, alo_ref, bhi_ref, blo_ref,
+               yhi_ref, ylo_ref):
+        # layouts (batch-minor): x/ahi/alo (npad, npad, B) zero-padded;
+        # bhi/blo (npad, 1, B). Vectors flip between axis-0 (npad, 1, B)
+        # and axis-1 (1, npad, B) orientation via exact eye-mask reduces.
+        B = x_ref.shape[2]
+        dt = x_ref.dtype
+        eye = (lax.broadcasted_iota(jnp.int32, (npad, npad, 1), 0)
+               == lax.broadcasted_iota(jnp.int32, (npad, npad, 1), 1)
+               ).astype(dt)
+        X = x_ref[:]
+        Ahi = ahi_ref[:]
+        Alo = alo_ref[:]
+        bhi0 = bhi_ref[:]
+        blo0 = blo_ref[:]
+
+        def flip01(v):          # (npad, 1, B) -> (1, npad, B), exact
+            return jnp.sum(v * eye, axis=0, keepdims=True)
+
+        def pairwise_df(p, e):
+            """Compensated reduction over axis 1 (length npad, pow2):
+            Σ(p + e) as a double-float (npad, 1, B) pair."""
+            k = npad
+            while k > 1:
+                k //= 2
+                s, err = _two_sum(p[:, :k, :], p[:, k:2 * k, :])
+                e = e[:, :k, :] + e[:, k:2 * k, :] + err
+                p = s
+            return p, e
+
+        bhi_r = flip01(bhi0)    # (1, npad, B)
+        blo_r = flip01(blo0)
+        # y0 = X b  (f32 apply, double-float carried)
+        yhi = jnp.sum(X * bhi_r, axis=1, keepdims=True)   # (npad, 1, B)
+        ylo = jnp.zeros_like(yhi)
+        for _ in range(steps):
+            yhi_r = flip01(yhi)
+            ylo_r = flip01(ylo)
+            # A y in double-float: exact products + compensated reduce
+            p, e = _two_prod(Ahi, yhi_r)
+            e = e + Ahi * ylo_r + Alo * yhi_r
+            shi, slo = pairwise_df(p, e)                  # (npad, 1, B)
+            # r = b - A y  (double-float)
+            rhi, rerr = _two_sum(bhi0, -shi)
+            r = rhi + (rerr + blo0 - slo)                 # f32 residual
+            # y += X r
+            dy = jnp.sum(X * flip01(r), axis=1, keepdims=True)
+            yhi, err = _two_sum(yhi, dy)
+            ylo = ylo + err
+        s, e = _two_sum(yhi, ylo)
+        yhi_ref[:] = s
+        ylo_ref[:] = e
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _refine_solve_f32pairs(x32, ahi, alo, bhi, blo, interpret=False):
+    """Batched fused solve+refine: inputs (B, n, n) / (B, n); outputs the
+    double-float solution (yhi, ylo) as two (B, n) f32 arrays."""
+    B, n = x32.shape[0], x32.shape[-1]
+    npad = 1
+    while npad < n:
+        npad *= 2
+    block = min(_MAX_BLOCK, max(128, B))
+    pad_b = (-B) % block
+    Bp = B + pad_b
+
+    def pad_mat(m):
+        out = jnp.zeros((Bp, npad, npad), m.dtype)
+        return out.at[:B, :n, :n].set(m)
+
+    def pad_vec(v):
+        out = jnp.zeros((Bp, npad), v.dtype)
+        return out.at[:B, :n].set(v)
+
+    xp = jnp.transpose(pad_mat(x32), (1, 2, 0))
+    ahip = jnp.transpose(pad_mat(ahi), (1, 2, 0))
+    alop = jnp.transpose(pad_mat(alo), (1, 2, 0))
+    bhip = jnp.transpose(pad_vec(bhi), (1, 0))[:, None, :]
+    blop = jnp.transpose(pad_vec(blo), (1, 0))[:, None, :]
+
+    def _imap_m(i):
+        return (jnp.int32(0), jnp.int32(0), i)
+
+    out_sh = jax.ShapeDtypeStruct((npad, 1, Bp), jnp.float32)
+    yhi, ylo = pl.pallas_call(
+        _make_refine_kernel(npad, _REFINE_STEPS),
+        out_shape=(out_sh, out_sh),
+        grid=(Bp // block,),
+        in_specs=[pl.BlockSpec((npad, npad, block), _imap_m,
+                               memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((npad, 1, block), _imap_m,
+                        memory_space=pltpu.VMEM)] * 2,
+        out_specs=(pl.BlockSpec((npad, 1, block), _imap_m,
+                                memory_space=pltpu.VMEM),) * 2,
+        interpret=interpret,
+    )(xp, ahip, alop, bhip, blop)
+    yhi = jnp.transpose(yhi[:, 0, :], (1, 0))[:B, :n]
+    ylo = jnp.transpose(ylo[:, 0, :], (1, 0))[:B, :n]
+    return yhi, ylo
+
+
+@jax.custom_batching.custom_vmap
+def _refine_solve(x32, a, b):
+    """Double-float fused solve: ``a`` (..., n, n) f64, ``x32`` its f32
+    inverse, ``b`` (..., n) f64 -> (..., n) f64 solution of ``a y = b``."""
+    lead = a.shape[:-2]
+    n = a.shape[-1]
+    B = 1
+    for d in lead:
+        B *= d
+    ab = a.reshape((B, n, n))
+    ahi = ab.astype(jnp.float32)
+    alo = (ab - ahi.astype(ab.dtype)).astype(jnp.float32)
+    bb = b.reshape((B, n))
+    bhi = bb.astype(jnp.float32)
+    blo = (bb - bhi.astype(bb.dtype)).astype(jnp.float32)
+    yhi, ylo = _refine_solve_f32pairs(
+        x32.reshape((B, n, n)), ahi, alo, bhi, blo,
+        interpret=jax.default_backend() != "tpu")
+    y = yhi.astype(b.dtype) + ylo.astype(b.dtype)
+    return y.reshape(b.shape)
+
+
+@_refine_solve.def_vmap
+def _refine_solve_vmap(axis_size, in_batched, x32, a, b):
+    # re-enter so nested vmaps collapse into the kernel batch
+    del axis_size, in_batched
+    return _refine_solve(x32, a, b), True
+
+
 def factor_for_solve(a: jax.Array):
     """Newton-solve factorization with LAZY precision lifting.
 
@@ -401,6 +606,10 @@ def solve_refined(fact, b: jax.Array, steps: int = 2) -> jax.Array:
     f32 = jnp.float32
     if b.dtype == f32 or a.dtype == f32:
         return (x32 @ b.astype(f32)).astype(b.dtype)
+    n = a.shape[-1]
+    if n <= _REFINE_MAX_N and b.ndim == a.ndim - 1 + 1 and b.shape[-1] == 1:
+        # single f64 column (the BDF/Radau state solve): fused VPU kernel
+        return _refine_solve(x32, a, b[..., 0])[..., None]
     y = (x32 @ b.astype(f32)).astype(a.dtype)
     for _ in range(steps):
         r = b - a @ y
