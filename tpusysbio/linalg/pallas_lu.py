@@ -396,8 +396,15 @@ def inverse(a: jax.Array, interpret: bool | None = None) -> jax.Array:
 # refinement accuracy.
 # ---------------------------------------------------------------------------
 
-_REFINE_MAX_N = 32    # npad² VMEM budget; larger n falls back to XLA refine
+_REFINE_MAX_N = 64    # npad² VMEM budget; larger n falls back to XLA refine
 _REFINE_STEPS = 3
+
+
+def _refine_block(npad: int) -> int:
+    """Batch block per kernel invocation: 3 (npad, npad, block) f32 inputs
+    + 2 (npad, npad, block) intermediates must sit in VMEM; shrink the
+    block at npad=64 (Radau's 2n embedding of MAPK-22-class models)."""
+    return 64 if npad > 32 else _MAX_BLOCK
 
 
 def _two_sum(a, b):
@@ -506,7 +513,7 @@ def _refine_solve_f32pairs(x32, ahi, alo, bhi, blo, interpret=False):
     npad = 1
     while npad < n:
         npad *= 2
-    block = min(_MAX_BLOCK, max(128, B))
+    block = _refine_block(npad)
     pad_b = (-B) % block
     Bp = B + pad_b
 
