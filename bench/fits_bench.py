@@ -54,7 +54,7 @@ def build_problem():
              for n in model.param_names if n not in free}
     pmap = ParameterMap.create(model.param_names, 1, shared=tuple(free),
                                fixed=fixed)
-    solver = os.environ.get("TPUSYSBIO_FITS_SOLVER", "inv32")
+    solver = os.environ.get("TPUSYSBIO_FITS_SOLVER", "pallas")
     # max_steps = 2x the nominal 262-step integration: one pathological
     # LHS member otherwise drags every LM iteration's lockstep union to
     # the full budget (docs/PERFORMANCE.md "lockstep-union tax")

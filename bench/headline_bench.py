@@ -39,7 +39,7 @@ from tpusysbio.fit import latin_hypercube  # noqa: E402
 N = int(os.environ.get("TPUSYSBIO_HEADLINE_N", "256"))
 TOP_K = int(os.environ.get("TPUSYSBIO_HEADLINE_TOPK", "16"))
 ITER_CHUNK = int(os.environ.get("TPUSYSBIO_HEADLINE_ITER_CHUNK", "4"))
-SOLVER = os.environ.get("TPUSYSBIO_HEADLINE_SOLVER", "inv32")
+SOLVER = os.environ.get("TPUSYSBIO_HEADLINE_SOLVER", "pallas")
 SCREEN_ITERS = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_ITERS", "8"))
 # Screen the N starts in sequential batches of this size (0 = one batch).
 # Bounded batches keep each device execution small and sidestep a runtime
