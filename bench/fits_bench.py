@@ -70,7 +70,8 @@ def build_problem():
 
 def main():
     from tpusysbio.config import FitConfig
-    from tpusysbio.fit import latin_hypercube, multistart_fit
+    from tpusysbio.fit import latin_hypercube
+    from tpusysbio.fit.multistart import make_multistart_runner
 
     proj, theta_true = build_problem()
     starts = latin_hypercube(jax.random.PRNGKey(0), BATCH,
@@ -78,17 +79,22 @@ def main():
     cfg = FitConfig(max_iter=MAX_ITER, eval_mode=os.environ.get("TPUSYSBIO_FITS_MODE", "lockstep"))
 
     # iter_chunk keeps each device call under the runtime's execution
-    # ceiling (docs/PERFORMANCE.md); chunks share one compilation
+    # ceiling (docs/PERFORMANCE.md); chunks share one compilation.
+    # A PERSISTENT runner is the production shape (see the headline
+    # harness): fresh multistart_fit calls re-trace their jit wrappers
+    # every time, which costs tens of seconds of host time per call on
+    # the remote-AOT runtime and is NOT fit throughput.
     chunk = int(os.environ.get("TPUSYSBIO_FITS_ITER_CHUNK", "4"))
+    run = make_multistart_runner(proj.residuals,
+                                 proj.residuals_and_jacobian,
+                                 cfg, iter_chunk=chunk)
     t0 = time.perf_counter()
-    out = multistart_fit(proj.residuals, proj.residuals_and_jacobian,
-                         starts, cfg, iter_chunk=chunk)
+    out = run(starts)
     jax.block_until_ready(out.cost)
     compile_and_run = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = multistart_fit(proj.residuals, proj.residuals_and_jacobian,
-                         starts, cfg, iter_chunk=chunk)
+    out = run(starts)
     jax.block_until_ready(out.cost)
     run_s = time.perf_counter() - t0
 

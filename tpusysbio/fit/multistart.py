@@ -95,6 +95,11 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
         lambda st, cap: lm_run(residual_fn, residual_and_jac_fn, st,
                                config, iter_cap=cap),
         in_axes=(0, None)), (True, False))
+    # lm_finish MUST be jitted: eagerly, its small-matrix covariance
+    # assembly dispatches op-by-op through the (remote) runtime — measured
+    # 10.3 s vs 0.03 s jitted for a b128 batch on the axon TPU, paid once
+    # per chunk by the screening phase of the headline workload
+    finish = wrap(jax.vmap(lm_finish), (True,))
 
     def run(theta0s):
         # Batch compaction (docs/PERFORMANCE.md roadmap #3): converged
@@ -108,7 +113,7 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
         flushed = {}
 
         def flush(state_np_done_mask, state, idxs):
-            fr = jax.vmap(lm_finish)(state)
+            fr = finish(state)
             fr_np = jax.tree.map(np.asarray, fr)
             seen = set()
             for slot, oi in enumerate(idxs):
