@@ -62,8 +62,8 @@ ANCHOR_MIN_N = 1024
 
 def main():
     from bench.fits_bench import build_problem
-    from tpusysbio.fit.multistart import (MultistartResult,
-                                          make_multistart_runner)
+    from tpusysbio.fit.multistart import (make_multistart_runner,
+                                          run_chunked)
 
     proj_tight, theta_true = build_problem()
     # max_steps=192: the nominal screening integration needs ~92 steps;
@@ -99,37 +99,19 @@ def main():
         proj_tight.residuals, proj_tight.residuals_and_jacobian,
         polish_cfg, iter_chunk=ITER_CHUNK)
 
-    keys = ("theta", "cost", "grad_norm", "status", "n_iter")
     n_chunks = starts.shape[0] // chunk
 
     def screen_all(resume: bool):
-        """Screen all chunks; with CKPT, persist each and skip completed.
-
-        ``resume=False`` ignores (and overwrites) any existing checkpoint —
-        the measured pass must do the full work unless this process is a
-        crash-restart (TPUSYSBIO_HEADLINE_RESUME=1, set by the supervisor).
-        """
-        parts, done = [], 0
-        if CKPT and resume and os.path.exists(CKPT):
-            ck = np.load(CKPT)
-            done = int(ck["chunks_done"])
-            if done:
-                parts = [{k: ck[k] for k in keys}]
-        for c in range(done, n_chunks):
-            fr = screen_run(starts[c * chunk:(c + 1) * chunk])
-            jax.block_until_ready(fr.cost)
-            parts.append({k: np.asarray(getattr(fr, k)) for k in keys})
-            if CKPT:
-                acc = {k: np.concatenate([p[k] for p in parts])
-                       for k in keys}
-                np.savez(CKPT, chunks_done=c + 1, **acc)
-                parts = [acc]
-        acc = {k: np.concatenate([p[k] for p in parts]) for k in keys}
-        res = MultistartResult(
-            theta=jnp.asarray(acc["theta"]), cost=jnp.asarray(acc["cost"]),
-            grad_norm=jnp.asarray(acc["grad_norm"]),
-            status=jnp.asarray(acc["status"]),
-            n_iter=jnp.asarray(acc["n_iter"]), theta0=starts)
+        """Screen all chunks via the library's chunked checkpoint path
+        (fit.multistart.run_chunked: atomic per-chunk persist, validated
+        resume). ``resume=False`` ignores (and overwrites) any existing
+        checkpoint — the measured pass must do the full work unless this
+        process is a crash-restart (TPUSYSBIO_HEADLINE_RESUME=1, set by
+        the supervisor)."""
+        res, done = run_chunked(screen_run, starts, chunk,
+                                checkpoint_path=CKPT or None,
+                                resume=resume,
+                                trace_len=screen_cfg.max_iter)
         if n_pad:  # drop pad clones before ranking
             res = jax.tree.map(lambda a: a[:N], res)
         return res, done
@@ -161,6 +143,11 @@ def main():
     anchored = None
     if N >= ANCHOR_MIN_N and not chunks_skipped:
         anchored = best_cost <= 1.001 * MINPACK_ANCHOR_COST
+    # a crash-resumed pass screened only the remaining chunks: rates must
+    # reflect the starts actually processed THIS run, not all N — and the
+    # headline 'value' is only a full-run wall time when nothing resumed
+    screened_now = (n_chunks - chunks_skipped) * chunk
+    rate_starts = min(N, screened_now) if chunks_skipped else N
     print(json.dumps({
         "metric": f"two-phase multi-start ({N} starts -> top {TOP_K} "
                   "polished at rtol=1e-6), MAPK-22, 12 free params",
@@ -178,9 +165,11 @@ def main():
             "minpack_anchor_cost": MINPACK_ANCHOR_COST,
             "anchor_ok": anchored,
             "cost_at_truth": float(jax.jit(proj_tight.cost)(theta_true)),
-            "starts_per_min_per_chip": round(N / wall * 60.0, 1),
+            "partial_resume": bool(chunks_skipped),
+            "starts_per_min_per_chip": round(
+                rate_starts / wall * 60.0, 1),
             "v5e8_extrapolated_starts_per_min": round(
-                8 * N / wall * 60.0, 1),
+                8 * rate_starts / wall * 60.0, 1),
             "backend": jax.default_backend(),
         },
     }))

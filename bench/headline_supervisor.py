@@ -48,23 +48,34 @@ def main() -> int:
     last_json = None
     while restarts <= MAX_RESTARTS:
         env["TPUSYSBIO_HEADLINE_RESUME"] = "1" if restarts else "0"
-        child = subprocess.Popen(
-            [sys.executable, "-m", "bench.headline_bench"], env=env,
-            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        last_progress = time.time()
-        last_mtime = os.path.getmtime(ckpt) if os.path.exists(ckpt) else 0.0
-        stalled = False
-        while child.poll() is None:
-            time.sleep(POLL_S)
-            mtime = os.path.getmtime(ckpt) if os.path.exists(ckpt) else 0.0
-            if mtime > last_mtime:
-                last_mtime, last_progress = mtime, time.time()
-            if time.time() - last_progress > STALL_S:
-                stalled = True
-                child.kill()
-                break
-        out = child.stdout.read() if child.stdout else ""
+        # Child stdout goes to a FILE, not a PIPE: an undrained pipe
+        # blocks the child once it fills (~64KB), and after a stall-kill
+        # any helper grandchild holding the write end would hang a
+        # blocking read() here forever. A file has neither failure mode.
+        out_path = ckpt + f".stdout.{restarts}"
+        with open(out_path, "w") as out_f:
+            child = subprocess.Popen(
+                [sys.executable, "-m", "bench.headline_bench"], env=env,
+                stdout=out_f, stderr=sys.stderr, text=True,
+                cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))))
+            last_progress = time.time()
+            last_mtime = (os.path.getmtime(ckpt)
+                          if os.path.exists(ckpt) else 0.0)
+            stalled = False
+            while child.poll() is None:
+                time.sleep(POLL_S)
+                mtime = (os.path.getmtime(ckpt)
+                         if os.path.exists(ckpt) else 0.0)
+                if mtime > last_mtime:
+                    last_mtime, last_progress = mtime, time.time()
+                if time.time() - last_progress > STALL_S:
+                    stalled = True
+                    child.kill()
+                    break
+            child.wait()  # reap; also settles returncode after a kill
+        with open(out_path) as f:
+            out = f.read()
         for line in out.splitlines():
             line = line.strip()
             if line.startswith("{"):

@@ -164,6 +164,65 @@ def test_checkpoint_resume(tmp_path):
     assert out2.cov is not None and out2.cost_trace is not None
 
 
+def test_checkpoint_resume_rejects_incompatible(tmp_path):
+    """Stale checkpoints — truncated files, older formats missing the
+    cov channels, or a different max_iter (cost_trace shape) — must
+    trigger a clean restart from chunk 0, never a silent channel drop or
+    a concatenate crash."""
+    theta0s = jnp.tile(jnp.asarray([-1.2, 1.0]), (4, 1))
+    cfg = FitConfig(max_iter=50)
+
+    def run(ck):
+        return multistart_fit(_rosenbrock_residuals, _rosenbrock_rj,
+                              theta0s, cfg, checkpoint_path=ck,
+                              chunk_size=2)
+
+    plain = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj,
+                           theta0s, cfg)
+
+    # (a) truncated/corrupt file (crash mid-write of a pre-atomic writer)
+    ck = str(tmp_path / "corrupt.npz")
+    with open(ck, "wb") as f:
+        f.write(b"PK\x03\x04 truncated")
+    out = run(ck)
+    np.testing.assert_allclose(np.asarray(out.cost),
+                               np.asarray(plain.cost))
+    assert out.cov is not None
+
+    # (b) old-format checkpoint without the cov/param_sigma/cost_trace
+    # channels: must restart, not resume into a cov-less result
+    ck = str(tmp_path / "oldfmt.npz")
+    np.savez(ck, chunks_done=1,
+             theta=np.zeros((2, 2)), cost=np.zeros(2),
+             grad_norm=np.zeros(2), status=np.ones(2, np.int32),
+             n_iter=np.ones(2, np.int32))
+    out = run(ck)
+    np.testing.assert_allclose(np.asarray(out.cost),
+                               np.asarray(plain.cost))
+    assert out.cov is not None and out.cost_trace is not None
+
+    # (c) checkpoint from a run with a different max_iter: cost_trace
+    # width mismatch — restart instead of np.concatenate ValueError
+    ck = str(tmp_path / "maxiter.npz")
+    other = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj,
+                           theta0s, FitConfig(max_iter=7),
+                           checkpoint_path=ck, chunk_size=2)
+    assert other.cost_trace.shape[1] == 7
+    out = run(ck)
+    assert out.cost_trace.shape[1] == 50
+    np.testing.assert_allclose(np.asarray(out.cost),
+                               np.asarray(plain.cost))
+
+
+def test_trf_subproblem_validated():
+    from tpusysbio.optim import trf_fit
+
+    with np.testing.assert_raises(ValueError):
+        trf_fit(_rosenbrock_residuals, _rosenbrock_rj,
+                jnp.asarray([-1.2, 1.0]), jnp.asarray([-2.0, -2.0]),
+                jnp.asarray([2.0, 2.0]), subproblem="SVD")
+
+
 def test_trf_bounded_matches_scipy():
     """Bounded TRF: same optimum as scipy least_squares(method='trf')."""
     from scipy.optimize import least_squares

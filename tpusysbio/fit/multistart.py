@@ -137,18 +137,23 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
                 break
             n_live = int((~done).sum())
             cur = orig_idx.shape[0]
-            # repack when at most half the slots are live
+            # repack when at most half the slots are live AND the repack
+            # actually shrinks the batch — at the size floor (n_dev /
+            # min(8, cur)) a "repack" to the same size would just pay a
+            # finish() execution + host gather every chunk for nothing
             if compact and n_live <= cur // 2 and n_live > 0:
-                flush(done, state, orig_idx)
                 new_size = max(1 << (n_live - 1).bit_length(),
                                min(8, cur), n_dev)
                 new_size += (-new_size) % n_dev
-                live = np.flatnonzero(~done)
-                pad = np.full(new_size - n_live, live[0])
-                sel = np.concatenate([live, pad])
-                state = jax.tree.map(lambda a: a[jnp.asarray(sel)], state)
-                orig_idx = np.concatenate(
-                    [orig_idx[live], np.full(new_size - n_live, -1)])
+                if new_size < cur:
+                    flush(done, state, orig_idx)
+                    live = np.flatnonzero(~done)
+                    pad = np.full(new_size - n_live, live[0])
+                    sel = np.concatenate([live, pad])
+                    state = jax.tree.map(lambda a: a[jnp.asarray(sel)],
+                                         state)
+                    orig_idx = np.concatenate(
+                        [orig_idx[live], np.full(new_size - n_live, -1)])
             cap += iter_chunk
 
         out = [flushed[i] for i in range(N)]
@@ -199,6 +204,104 @@ def make_multistart_runner(
     return runner
 
 
+# every per-member channel — including cov/param_sigma/cost_trace (the
+# reference's cov_x contract, scipy/optimize/_minpack_py.py:482-501) —
+# is persisted per chunk, so a checkpointed result is field-for-field
+# identical with the plain path
+_CHUNK_KEYS = ("theta", "cost", "grad_norm", "status", "n_iter",
+               "cov", "param_sigma", "cost_trace")
+
+
+def _atomic_savez(path: str, **arrays) -> None:
+    """np.savez via temp file + os.replace: a crash mid-write (the exact
+    scenario checkpoints exist for) must never corrupt the previous good
+    checkpoint or leave a truncated file that poisons every resume."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_checkpoint(path: str, n_theta: int, trace_len: int):
+    """Load and VALIDATE a chunk checkpoint; returns (acc dict, chunks
+    done) or (None, 0) for a missing/corrupt/incompatible file (e.g.
+    written by an older version without the cov channels, or with a
+    different ``max_iter`` — resuming those would silently drop channels
+    or crash in np.concatenate, so they restart from scratch instead)."""
+    if not os.path.exists(path):
+        return None, 0
+    try:
+        ck = np.load(path)
+        done = int(ck["chunks_done"])
+        acc = {k: ck[k] for k in _CHUNK_KEYS}
+    except Exception:
+        return None, 0
+    n = acc["theta"].shape[0]
+    shapes_ok = (
+        acc["theta"].ndim == 2 and acc["theta"].shape[1] == n_theta
+        and acc["cov"].shape == (n, n_theta, n_theta)
+        and acc["param_sigma"].shape == (n, n_theta)
+        and acc["cost_trace"].ndim == 2
+        and acc["cost_trace"].shape[1] == trace_len
+        and all(acc[k].shape[0] == n for k in _CHUNK_KEYS))
+    if not (done and shapes_ok):
+        return None, 0
+    return acc, done
+
+
+def run_chunked(
+    runner: Callable,
+    theta0s: jax.Array,
+    chunk_size: int,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = True,
+    trace_len: int = 0,
+):
+    """Run a persistent ``make_multistart_runner`` callable over
+    sequential chunks of ``theta0s`` with per-chunk checkpointing.
+
+    Returns ``(MultistartResult, chunks_resumed)``. With
+    ``checkpoint_path``, every completed chunk is persisted ATOMICALLY;
+    a re-run with ``resume=True`` continues after the last completed
+    chunk (a missing/corrupt/incompatible checkpoint restarts cleanly
+    from chunk 0). ``resume=False`` ignores and overwrites any existing
+    file. ``trace_len`` must be the fit config's ``max_iter`` (validates
+    that a resumed checkpoint has compatible ``cost_trace`` shape).
+    """
+    N = theta0s.shape[0]
+    if N % chunk_size:
+        raise ValueError("chunk_size must divide the number of starts")
+    n_chunks = N // chunk_size
+    done, parts = 0, []
+    if checkpoint_path and resume:
+        acc, done = _load_checkpoint(checkpoint_path, theta0s.shape[1],
+                                     trace_len)
+        if done:
+            parts = [acc]
+        done = min(done, n_chunks)
+
+    for c in range(done, n_chunks):
+        fr = runner(theta0s[c * chunk_size:(c + 1) * chunk_size])
+        jax.block_until_ready(fr.cost)
+        parts.append({k: np.asarray(getattr(fr, k)) for k in _CHUNK_KEYS})
+        if checkpoint_path:
+            acc = {k: np.concatenate([p[k] for p in parts])
+                   for k in _CHUNK_KEYS}
+            _atomic_savez(checkpoint_path, chunks_done=c + 1, **acc)
+            parts = [acc]
+
+    acc = {k: np.concatenate([p[k] for p in parts]) for k in _CHUNK_KEYS}
+    res = MultistartResult(
+        theta=jnp.asarray(acc["theta"]), cost=jnp.asarray(acc["cost"]),
+        grad_norm=jnp.asarray(acc["grad_norm"]),
+        status=jnp.asarray(acc["status"]),
+        n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s,
+        cov=jnp.asarray(acc["cov"]),
+        param_sigma=jnp.asarray(acc["param_sigma"]),
+        cost_trace=jnp.asarray(acc["cost_trace"]))
+    return res, done
+
+
 def multistart_fit(
     residual_fn: Callable,
     residual_and_jac_fn: Callable,
@@ -235,45 +338,10 @@ def multistart_fit(
     if chunk_size is None or chunk_size >= N:
         return run(theta0s)
 
-    # ---- chunked with checkpoint/resume --------------------------------
-    if N % chunk_size:
-        raise ValueError("chunk_size must divide the number of starts")
-    n_chunks = N // chunk_size
-    done = 0
-    parts = []
-    # every per-member channel — including cov/param_sigma/cost_trace (the
-    # reference's cov_x contract, scipy/optimize/_minpack_py.py:482-501) —
-    # is persisted per chunk, so the checkpointed result is field-for-field
-    # identical with the plain path
-    keys = ("theta", "cost", "grad_norm", "status", "n_iter",
-            "cov", "param_sigma", "cost_trace")
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        ck = np.load(checkpoint_path)
-        done = int(ck["chunks_done"])
-        if done:
-            parts = [{k: ck[k] for k in keys if k in ck}]
-
-    for c in range(done, n_chunks):
-        fr = run(theta0s[c * chunk_size:(c + 1) * chunk_size])
-        parts.append({k: np.asarray(getattr(fr, k)) for k in keys
-                      if getattr(fr, k) is not None})
-        if checkpoint_path:
-            acc = {k: np.concatenate([p[k] for p in parts])
-                   for k in parts[0]}
-            np.savez(checkpoint_path, chunks_done=c + 1, **acc)
-            parts = [acc]
-
-    acc = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-    return MultistartResult(
-        theta=jnp.asarray(acc["theta"]), cost=jnp.asarray(acc["cost"]),
-        grad_norm=jnp.asarray(acc["grad_norm"]),
-        status=jnp.asarray(acc["status"]),
-        n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s,
-        cov=jnp.asarray(acc["cov"]) if "cov" in acc else None,
-        param_sigma=(jnp.asarray(acc["param_sigma"])
-                     if "param_sigma" in acc else None),
-        cost_trace=(jnp.asarray(acc["cost_trace"])
-                    if "cost_trace" in acc else None))
+    res, _ = run_chunked(run, theta0s, chunk_size,
+                         checkpoint_path=checkpoint_path,
+                         trace_len=config.max_iter)
+    return res
 
 
 def multistart_two_phase(

@@ -327,8 +327,14 @@ def _schur_inverse(a: jax.Array) -> jax.Array:
 
     No pivoting crosses the block boundary — fine for the diagonally
     dominant Newton matrices ``I − c·J`` this path serves (and the f64
-    Newton–Schulz refinement in the caller recovers the last digits);
-    pathological leading blocks should use the LU fallback instead.
+    Newton–Schulz refinement in the caller recovers the last digits).
+    A near-singular LEADING BLOCK (possible even when the full matrix is
+    well-conditioned) would yield a FINITE-but-wrong inverse that
+    refinement amplifies rather than fixes, so members whose residual
+    ``‖I − A·X‖∞`` exceeds the refinement convergence bound are poisoned
+    with NaN — downstream failure detection (Newton rejection → smaller
+    step → a more diagonally dominant ``I − c·J``) handles them, and
+    direct callers see an unmistakable failure instead of garbage.
     ``a`` is (B, n, n); f32."""
     n = a.shape[-1]
     n1 = MAX_KERNEL_N
@@ -344,7 +350,13 @@ def _schur_inverse(a: jax.Array) -> jax.Array:
     b11 = x11 - b12 @ a21_x11
     top = jnp.concatenate([b11, b12], axis=-1)
     bot = jnp.concatenate([b21, xs], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    x = jnp.concatenate([top, bot], axis=-2)
+    # residual guard (see docstring): one extra batched f32 matmul vs the
+    # six above. Newton-Schulz converges iff ‖I − AX‖ < 1; 0.5 leaves
+    # margin while staying far above the eps32·κ·n of any healthy member.
+    eye = jnp.eye(n, dtype=x.dtype)
+    resid = jnp.max(jnp.abs(eye - a @ x), axis=(-2, -1))
+    return jnp.where((resid < 0.5)[:, None, None], x, jnp.nan)
 
 
 def inverse(a: jax.Array, interpret: bool | None = None) -> jax.Array:
@@ -614,8 +626,13 @@ def solve_refined(fact, b: jax.Array, steps: int = 2) -> jax.Array:
     if b.dtype == f32 or a.dtype == f32:
         return (x32 @ b.astype(f32)).astype(b.dtype)
     n = a.shape[-1]
-    if n <= _REFINE_MAX_N and b.ndim == a.ndim - 1 + 1 and b.shape[-1] == 1:
-        # single f64 column (the BDF/Radau state solve): fused VPU kernel
+    if (steps <= _REFINE_STEPS and n <= _REFINE_MAX_N
+            and b.ndim == a.ndim - 1 + 1 and b.shape[-1] == 1):
+        # single f64 column (the BDF/Radau state solve): fused VPU kernel.
+        # The kernel performs _REFINE_STEPS (>= the requested ``steps``)
+        # double-float rounds at ~zero marginal cost, so ``steps`` acts as
+        # a MINIMUM here; a request for MORE rounds than the kernel bakes
+        # in falls through to the XLA loop below and is honored exactly.
         return _refine_solve(x32, a, b[..., 0])[..., None]
     y = (x32 @ b.astype(f32)).astype(a.dtype)
     for _ in range(steps):

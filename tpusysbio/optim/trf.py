@@ -85,6 +85,9 @@ def trf_fit(
       head in bench/experiments/trf_subproblem_bench.py — see
       docs/PERFORMANCE.md.
     """
+    if subproblem not in ("normal", "svd"):
+        raise ValueError(f"unknown subproblem {subproblem!r}; "
+                         "expected 'normal' or 'svd'")
     dtype = theta0.dtype
     eps = jnp.finfo(dtype).eps
     lb = jnp.asarray(lower, dtype)
