@@ -92,9 +92,12 @@ def main():
     polish_cfg = FitConfig(max_iter=POLISH_ITERS, eval_mode="lockstep")
 
     # persistent runners: compile once, reuse (production shape)
+    # with_cov=False: screening triages non-converged members — their
+    # covariance is meaningless, XLA DCEs its math, and the per-chunk
+    # flush stops transferring it over the (slow) remote tunnel
     screen_run = make_multistart_runner(
         proj_screen.residuals, proj_screen.residuals_and_jacobian,
-        screen_cfg, iter_chunk=ITER_CHUNK)
+        screen_cfg, iter_chunk=ITER_CHUNK, with_cov=False)
     polish_run = make_multistart_runner(
         proj_tight.residuals, proj_tight.residuals_and_jacobian,
         polish_cfg, iter_chunk=ITER_CHUNK)
@@ -111,7 +114,8 @@ def main():
         res, done = run_chunked(screen_run, starts, chunk,
                                 checkpoint_path=CKPT or None,
                                 resume=resume,
-                                trace_len=screen_cfg.max_iter)
+                                trace_len=screen_cfg.max_iter,
+                                channels="rank")
         if n_pad:  # drop pad clones before ranking
             res = jax.tree.map(lambda a: a[:N], res)
         return res, done

@@ -66,16 +66,18 @@ class MultistartResult(NamedTuple):
 
 
 def _fit_batch_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
-                  config: FitConfig):
+                  config: FitConfig, with_cov: bool = True):
     def fit_one(theta0):
-        return lm_fit(residual_fn, residual_and_jac_fn, theta0, config)
+        fr = lm_fit(residual_fn, residual_and_jac_fn, theta0, config)
+        return fr if with_cov else fr._replace(cov=None, param_sigma=None)
 
     return jax.vmap(fit_one)
 
 
 def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
                     config: FitConfig, iter_chunk: int,
-                    mesh: Optional[Mesh], compact: bool):
+                    mesh: Optional[Mesh], compact: bool,
+                    with_cov: bool = True):
     """Advance the whole batch ``iter_chunk`` LM iterations per device
     call (bounded single-execution time). The iteration cap is a traced
     scalar, so all chunks share one compilation."""
@@ -98,8 +100,16 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
     # lm_finish MUST be jitted: eagerly, its small-matrix covariance
     # assembly dispatches op-by-op through the (remote) runtime — measured
     # 10.3 s vs 0.03 s jitted for a b128 batch on the axon TPU, paid once
-    # per chunk by the screening phase of the headline workload
-    finish = wrap(jax.vmap(lm_finish), (True,))
+    # per chunk by the screening phase of the headline workload.
+    # with_cov=False (screening): cov/param_sigma come back as None — XLA
+    # dead-code-eliminates the covariance math, and (the real win on the
+    # remote-tunnel runtime) the per-chunk flush stops paying their
+    # device->host transfer (~700 KB per 512-chunk).
+    def _finish_one(st):
+        fr = lm_finish(st)
+        return fr if with_cov else fr._replace(cov=None, param_sigma=None)
+
+    finish = wrap(jax.vmap(_finish_one), (True,))
 
     def run(theta0s):
         # Batch compaction (docs/PERFORMANCE.md roadmap #3): converged
@@ -169,6 +179,7 @@ def make_multistart_runner(
     mesh: Optional[Mesh] = None,
     iter_chunk: Optional[int] = None,
     compact: bool = False,
+    with_cov: bool = True,
 ) -> Callable:
     """Build a REUSABLE batch-fit callable with persistent jit caches.
 
@@ -181,9 +192,10 @@ def make_multistart_runner(
     """
     if iter_chunk:
         run = _chunked_fit_fn(residual_fn, residual_and_jac_fn, config,
-                              iter_chunk, mesh, compact)
+                              iter_chunk, mesh, compact, with_cov)
     else:
-        fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config)
+        fit_batch = _fit_batch_fn(residual_fn, residual_and_jac_fn, config,
+                                  with_cov)
         if mesh is not None:
             axis = mesh.axis_names[0]
             sharded = jax.shard_map(
@@ -207,9 +219,14 @@ def make_multistart_runner(
 # every per-member channel — including cov/param_sigma/cost_trace (the
 # reference's cov_x contract, scipy/optimize/_minpack_py.py:482-501) —
 # is persisted per chunk, so a checkpointed result is field-for-field
-# identical with the plain path
+# identical with the plain path. 'rank' keeps only the ranking channels:
+# screening phases triage thousands of non-converged members whose
+# covariance is meaningless, and the heavy channels cost real wall time
+# in device->host transfer per chunk (measured ~0.8 s/512-chunk over the
+# remote-tunnel runtime — 20 chunks of the 10k headline paid ~16 s).
 _CHUNK_KEYS = ("theta", "cost", "grad_norm", "status", "n_iter",
                "cov", "param_sigma", "cost_trace")
+_RANK_KEYS = ("theta", "cost", "grad_norm", "status", "n_iter")
 
 
 def _atomic_savez(path: str, **arrays) -> None:
@@ -222,28 +239,34 @@ def _atomic_savez(path: str, **arrays) -> None:
     os.replace(tmp, path)
 
 
-def _load_checkpoint(path: str, n_theta: int, trace_len: int):
+def _load_checkpoint(path: str, keys, n_theta: int, trace_len: int):
     """Load and VALIDATE a chunk checkpoint; returns (acc dict, chunks
     done) or (None, 0) for a missing/corrupt/incompatible file (e.g.
-    written by an older version without the cov channels, or with a
-    different ``max_iter`` — resuming those would silently drop channels
-    or crash in np.concatenate, so they restart from scratch instead)."""
+    written by an older version without the cov channels, with a
+    different ``max_iter``, or with a different channel set — resuming
+    those would silently drop channels or crash in np.concatenate, so
+    they restart from scratch instead)."""
     if not os.path.exists(path):
         return None, 0
     try:
         ck = np.load(path)
         done = int(ck["chunks_done"])
-        acc = {k: ck[k] for k in _CHUNK_KEYS}
+        if set(ck.files) != set(keys) | {"chunks_done"}:
+            return None, 0
+        acc = {k: ck[k] for k in keys}
     except Exception:
         return None, 0
     n = acc["theta"].shape[0]
     shapes_ok = (
         acc["theta"].ndim == 2 and acc["theta"].shape[1] == n_theta
-        and acc["cov"].shape == (n, n_theta, n_theta)
-        and acc["param_sigma"].shape == (n, n_theta)
-        and acc["cost_trace"].ndim == 2
-        and acc["cost_trace"].shape[1] == trace_len
-        and all(acc[k].shape[0] == n for k in _CHUNK_KEYS))
+        and all(acc[k].shape[0] == n for k in keys))
+    if "cov" in acc:
+        shapes_ok = (
+            shapes_ok
+            and acc["cov"].shape == (n, n_theta, n_theta)
+            and acc["param_sigma"].shape == (n, n_theta)
+            and acc["cost_trace"].ndim == 2
+            and acc["cost_trace"].shape[1] == trace_len)
     if not (done and shapes_ok):
         return None, 0
     return acc, done
@@ -256,6 +279,7 @@ def run_chunked(
     checkpoint_path: Optional[str] = None,
     resume: bool = True,
     trace_len: int = 0,
+    channels: str = "all",
 ):
     """Run a persistent ``make_multistart_runner`` callable over
     sequential chunks of ``theta0s`` with per-chunk checkpointing.
@@ -267,15 +291,25 @@ def run_chunked(
     from chunk 0). ``resume=False`` ignores and overwrites any existing
     file. ``trace_len`` must be the fit config's ``max_iter`` (validates
     that a resumed checkpoint has compatible ``cost_trace`` shape).
+
+    ``channels='all'`` carries every per-member channel (the default —
+    field-for-field identical with the plain path); ``'rank'`` keeps
+    only the ranking channels and returns ``cov``/``param_sigma``/
+    ``cost_trace`` as None — the right mode for screening phases, where
+    the heavy channels are meaningless for thousands of non-converged
+    members and cost real per-chunk device->host transfer time.
     """
+    if channels not in ("all", "rank"):
+        raise ValueError(f"unknown channels {channels!r}")
+    keys = _CHUNK_KEYS if channels == "all" else _RANK_KEYS
     N = theta0s.shape[0]
     if N % chunk_size:
         raise ValueError("chunk_size must divide the number of starts")
     n_chunks = N // chunk_size
     done, parts = 0, []
     if checkpoint_path and resume:
-        acc, done = _load_checkpoint(checkpoint_path, theta0s.shape[1],
-                                     trace_len)
+        acc, done = _load_checkpoint(checkpoint_path, keys,
+                                     theta0s.shape[1], trace_len)
         if done:
             parts = [acc]
         done = min(done, n_chunks)
@@ -283,22 +317,28 @@ def run_chunked(
     for c in range(done, n_chunks):
         fr = runner(theta0s[c * chunk_size:(c + 1) * chunk_size])
         jax.block_until_ready(fr.cost)
-        parts.append({k: np.asarray(getattr(fr, k)) for k in _CHUNK_KEYS})
+        if channels == "all" and fr.cov is None:
+            raise ValueError(
+                "channels='all' needs a runner built with with_cov=True")
+        parts.append({k: np.asarray(getattr(fr, k)) for k in keys})
         if checkpoint_path:
             acc = {k: np.concatenate([p[k] for p in parts])
-                   for k in _CHUNK_KEYS}
+                   for k in keys}
             _atomic_savez(checkpoint_path, chunks_done=c + 1, **acc)
             parts = [acc]
 
-    acc = {k: np.concatenate([p[k] for p in parts]) for k in _CHUNK_KEYS}
+    acc = {k: np.concatenate([p[k] for p in parts]) for k in keys}
+
+    def opt(k):
+        return jnp.asarray(acc[k]) if k in acc else None
+
     res = MultistartResult(
         theta=jnp.asarray(acc["theta"]), cost=jnp.asarray(acc["cost"]),
         grad_norm=jnp.asarray(acc["grad_norm"]),
         status=jnp.asarray(acc["status"]),
         n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s,
-        cov=jnp.asarray(acc["cov"]),
-        param_sigma=jnp.asarray(acc["param_sigma"]),
-        cost_trace=jnp.asarray(acc["cost_trace"]))
+        cov=opt("cov"), param_sigma=opt("param_sigma"),
+        cost_trace=opt("cost_trace"))
     return res, done
 
 
