@@ -214,6 +214,39 @@ def test_checkpoint_resume_rejects_incompatible(tmp_path):
                                np.asarray(plain.cost))
 
 
+def test_run_chunked_rank_channels(tmp_path):
+    """Screening mode: with_cov=False runner + channels='rank' carries
+    only ranking channels (cov None), matches the full path's ranking,
+    and resumes; channels='all' with a cov-less runner raises."""
+    from tpusysbio.fit.multistart import (make_multistart_runner,
+                                          run_chunked)
+
+    theta0s = jnp.asarray([[-1.2, 1.0], [-0.5, 0.5],
+                           [0.3, -0.2], [1.5, 2.0]])
+    cfg = FitConfig(max_iter=10)
+    light = make_multistart_runner(_rosenbrock_residuals, _rosenbrock_rj,
+                                   cfg, iter_chunk=4, with_cov=False)
+    ck = str(tmp_path / "rank.npz")
+    res, resumed = run_chunked(light, theta0s, 2, checkpoint_path=ck,
+                               trace_len=cfg.max_iter, channels="rank")
+    assert resumed == 0
+    assert res.cov is None and res.param_sigma is None
+    full = multistart_fit(_rosenbrock_residuals, _rosenbrock_rj, theta0s,
+                          cfg)
+    np.testing.assert_allclose(np.asarray(res.cost),
+                               np.asarray(full.cost), rtol=1e-12)
+    # resume skips all completed chunks
+    res2, resumed2 = run_chunked(light, theta0s, 2, checkpoint_path=ck,
+                                 trace_len=cfg.max_iter, channels="rank")
+    assert resumed2 == 2
+    np.testing.assert_allclose(np.asarray(res2.cost),
+                               np.asarray(res.cost))
+    # a cov-less runner cannot honor the full-channel contract
+    with np.testing.assert_raises(ValueError):
+        run_chunked(light, theta0s, 2, trace_len=cfg.max_iter,
+                    channels="all")
+
+
 def test_trf_subproblem_validated():
     from tpusysbio.optim import trf_fit
 
