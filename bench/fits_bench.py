@@ -58,8 +58,10 @@ def build_problem():
     # max_steps = 2x the nominal 262-step integration: one pathological
     # LHS member otherwise drags every LM iteration's lockstep union to
     # the full budget (docs/PERFORMANCE.md "lockstep-union tax")
+    max_steps = int(os.environ.get("TPUSYSBIO_FITS_MAX_STEPS", "512"))
     proj = Project(model=model, pmap=pmap, batch=batch,
-                   config=SolverConfig(rtol=1e-6, atol=1e-9, max_steps=512,
+                   config=SolverConfig(rtol=1e-6, atol=1e-9,
+                                       max_steps=max_steps,
                                        linear_solver=solver,
                                        sens_precision="f32",
                                        dense_f32=True))
