@@ -25,6 +25,24 @@ def test_inverse_batched_vmap():
     assert float(err) < 1e-11
 
 
+def test_inverse_large_batch_large_n_chunked():
+    """n > 32 with a multi-128 batch takes the lax.map single-grid path
+    (the multi-block grid OOMs scoped VMEM on hardware at this shape —
+    the EGFR b512 screening regression); includes a non-multiple batch
+    so the pad+chunk composition is exercised."""
+    rng = np.random.default_rng(1)
+    n, B = 64, 300
+    # spectral radius of N(0,1)/sqrt(n) is ~1, so +4I keeps every member
+    # comfortably nonsingular (plain N(0,1) has radius ~sqrt(n)=8)
+    a = jnp.asarray(
+        rng.normal(size=(B, n, n)) / np.sqrt(n) + 4.0 * np.eye(n),
+        jnp.float32)
+    xs = jax.vmap(pallas_lu.inverse)(a)
+    err = jnp.max(jnp.abs(
+        jnp.einsum("bij,bjk->bik", xs, a) - jnp.eye(n, dtype=jnp.float32)))
+    assert float(err) < 5e-5
+
+
 def test_inverse_needs_pivoting():
     a = jnp.asarray([[0.0, 1.0], [1.0, 0.0]])
     x = pallas_lu.inverse(a)

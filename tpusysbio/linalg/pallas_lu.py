@@ -168,7 +168,15 @@ def _gj_inverse_f32(a: jax.Array, interpret: bool = False) -> jax.Array:
     The kernel runs batch-minor (n, n, B) blocks; the transposes in/out
     are cheap XLA copies next to the in-kernel work they unlock."""
     B, n = a.shape[0], a.shape[-1]
-    block = min(_MAX_BLOCK, max(128, B))
+    # The batch block stays 128 wide — Mosaic requires the lane (last)
+    # dim of a block to be 128-divisible or the whole array dim. At
+    # n > 32 a MULTI-block grid double-buffers the (n, n, 128) staging
+    # and overflows scoped VMEM (verified on hardware: (64, 64, 512)
+    # with grid=4 OOMs by 0.6 MB — the EGFR b512 screening shape via
+    # block-Schur's n=64 sub-blocks — while the grid=1 case compiles and
+    # runs). Large batches at large n therefore run as a lax.map over
+    # single-grid 128-wide calls (one compiled kernel, reused).
+    block = _MAX_BLOCK
     if B % block:
         pad = block - B % block
         a = jnp.concatenate(
@@ -199,16 +207,26 @@ def _gj_inverse_f32(a: jax.Array, interpret: bool = False) -> jax.Array:
         return out[:B]
 
     at = jnp.transpose(a, (1, 2, 0))  # (n, n, Bp) batch-minor
-    out = pl.pallas_call(
-        _gj_batched_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n, Bp), a.dtype),
-        grid=(Bp // block,),
-        in_specs=[pl.BlockSpec((n, n, block), _imap_minor,
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n, n, block), _imap_minor,
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(at)
+
+    def call(at_part, n_blocks):
+        return pl.pallas_call(
+            _gj_batched_kernel,
+            out_shape=jax.ShapeDtypeStruct(at_part.shape, a.dtype),
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec((n, n, block), _imap_minor,
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n, n, block), _imap_minor,
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(at_part)
+
+    if n > 32 and Bp > block:
+        # single-grid calls sequenced by lax.map (see block comment)
+        chunks = jnp.moveaxis(at.reshape(n, n, Bp // block, block), 2, 0)
+        out = lax.map(lambda ab: call(ab, 1), chunks)
+        out = jnp.moveaxis(out, 0, 2).reshape(n, n, Bp)
+    else:
+        out = call(at, Bp // block)
     return jnp.transpose(out, (2, 0, 1))[:B]
 
 
