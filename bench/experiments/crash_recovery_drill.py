@@ -63,9 +63,12 @@ def main():
             continue
         if done >= KILL_AFTER_CHUNKS:
             for kid in children_of(sup.pid):
-                print(f"[drill] checkpoint at chunk {done}; killing bench "
+                try:
+                    os.kill(kid, signal.SIGKILL)
+                except ProcessLookupError:
+                    continue  # child exited in the race window; retry
+                print(f"[drill] checkpoint at chunk {done}; killed bench "
                       f"child pid {kid}", file=sys.stderr, flush=True)
-                os.kill(kid, signal.SIGKILL)
                 killed = True
     out, _ = sup.communicate()
     line = [ln for ln in out.splitlines() if ln.strip().startswith("{")]

@@ -105,8 +105,11 @@ def main():
     ms_s = init_s + newton_s
 
     # converged window-start states vs the serial trajectory at the same
-    # boundary times (windows 1..K-1 <-> bounds[1..K-1])
+    # boundary times (windows 1..K-1 <-> bounds[1..K-1]). NOTE:
+    # defect_trace entries are PRE-update defects (newton_step measures
+    # its input); this final sweep gives the post-final-update defect.
     d, _, _, status = sweep(zt)
+    final_defect = float(jnp.max(jnp.abs(d)))
     scale = np.max(np.abs(y_serial_bounds)) + 1e-12
     end_err = float(np.max(np.abs(
         np.asarray(zt) - y_serial_bounds[:K - 1])) / scale)
@@ -122,7 +125,9 @@ def main():
             "newton_seconds": round(newton_s, 2),
             "newton_iters": NEWTON_ITERS,
             "serial_nsteps": int(res.nsteps),
-            "max_defect_trace": [round(d, 8) for d in defect_trace],
+            "pre_update_defect_trace": [round(d, 8)
+                                        for d in defect_trace],
+            "final_defect": round(final_defect, 10),
             "zlast_vs_serial_relerr": end_err,
             "window_status_ok": int((np.asarray(status) == 1).sum()),
             "backend": jax.default_backend(),

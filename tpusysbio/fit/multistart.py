@@ -213,6 +213,9 @@ def make_multistart_runner(
                                 cov=fr.cov, param_sigma=fr.param_sigma,
                                 cost_trace=fr.cost_trace)
 
+    # advertised so run_chunked can reject a channels='all'/cov-less
+    # mismatch up front instead of after the first (expensive) chunk
+    runner.with_cov = with_cov
     return runner
 
 
@@ -239,34 +242,46 @@ def _atomic_savez(path: str, **arrays) -> None:
     os.replace(tmp, path)
 
 
-def _load_checkpoint(path: str, keys, n_theta: int, trace_len: int):
+def _run_digest(theta0s, chunk_size: int, trace_len: int) -> np.ndarray:
+    """Fingerprint of (start set, chunking, fit budget) stored in every
+    checkpoint: a resumed run must be THE SAME run. Chunks fit from a
+    different N (LHS start sets depend on N), different starts, a
+    different chunk size, or a different iteration budget must never be
+    silently mixed with fresh chunks."""
+    import hashlib
+
+    h = hashlib.sha256(np.ascontiguousarray(
+        np.asarray(theta0s, np.float64)).tobytes())
+    h.update(np.int64([chunk_size, trace_len]).tobytes())
+    return np.frombuffer(h.digest(), np.uint8)
+
+
+def _load_checkpoint(path: str, keys, n_theta: int, digest: np.ndarray,
+                     chunk_size: int):
     """Load and VALIDATE a chunk checkpoint; returns (acc dict, chunks
     done) or (None, 0) for a missing/corrupt/incompatible file (e.g.
-    written by an older version without the cov channels, with a
-    different ``max_iter``, or with a different channel set — resuming
-    those would silently drop channels or crash in np.concatenate, so
-    they restart from scratch instead)."""
+    written by an older version without the cov channels, a different
+    channel set, or — via the run digest — different starts / N /
+    chunking / iteration budget: resuming any of those would silently
+    mix results of different runs, drop channels, or crash in
+    np.concatenate, so they restart from scratch instead)."""
     if not os.path.exists(path):
         return None, 0
     try:
         ck = np.load(path)
         done = int(ck["chunks_done"])
-        if set(ck.files) != set(keys) | {"chunks_done"}:
+        if set(ck.files) != set(keys) | {"chunks_done", "run_digest"}:
+            return None, 0
+        if not np.array_equal(ck["run_digest"], digest):
             return None, 0
         acc = {k: ck[k] for k in keys}
     except Exception:
         return None, 0
     n = acc["theta"].shape[0]
     shapes_ok = (
-        acc["theta"].ndim == 2 and acc["theta"].shape[1] == n_theta
+        n == done * chunk_size
+        and acc["theta"].ndim == 2 and acc["theta"].shape[1] == n_theta
         and all(acc[k].shape[0] == n for k in keys))
-    if "cov" in acc:
-        shapes_ok = (
-            shapes_ok
-            and acc["cov"].shape == (n, n_theta, n_theta)
-            and acc["param_sigma"].shape == (n, n_theta)
-            and acc["cost_trace"].ndim == 2
-            and acc["cost_trace"].shape[1] == trace_len)
     if not (done and shapes_ok):
         return None, 0
     return acc, done
@@ -287,10 +302,12 @@ def run_chunked(
     Returns ``(MultistartResult, chunks_resumed)``. With
     ``checkpoint_path``, every completed chunk is persisted ATOMICALLY;
     a re-run with ``resume=True`` continues after the last completed
-    chunk (a missing/corrupt/incompatible checkpoint restarts cleanly
-    from chunk 0). ``resume=False`` ignores and overwrites any existing
-    file. ``trace_len`` must be the fit config's ``max_iter`` (validates
-    that a resumed checkpoint has compatible ``cost_trace`` shape).
+    chunk. A checkpoint only resumes if it is THE SAME run: the file
+    carries a digest of (starts, chunk_size, trace_len) and a
+    missing/corrupt/old-format/different-run checkpoint restarts cleanly
+    from chunk 0. ``resume=False`` ignores and overwrites any existing
+    file. ``trace_len`` must be the fit config's ``max_iter`` (part of
+    the digest, so a changed iteration budget restarts too).
 
     ``channels='all'`` carries every per-member channel (the default —
     field-for-field identical with the plain path); ``'rank'`` keeps
@@ -301,15 +318,19 @@ def run_chunked(
     """
     if channels not in ("all", "rank"):
         raise ValueError(f"unknown channels {channels!r}")
+    if channels == "all" and not getattr(runner, "with_cov", True):
+        raise ValueError(
+            "channels='all' needs a runner built with with_cov=True")
     keys = _CHUNK_KEYS if channels == "all" else _RANK_KEYS
     N = theta0s.shape[0]
     if N % chunk_size:
         raise ValueError("chunk_size must divide the number of starts")
     n_chunks = N // chunk_size
+    digest = _run_digest(theta0s, chunk_size, trace_len)
     done, parts = 0, []
     if checkpoint_path and resume:
         acc, done = _load_checkpoint(checkpoint_path, keys,
-                                     theta0s.shape[1], trace_len)
+                                     theta0s.shape[1], digest, chunk_size)
         if done:
             parts = [acc]
         done = min(done, n_chunks)
@@ -324,7 +345,8 @@ def run_chunked(
         if checkpoint_path:
             acc = {k: np.concatenate([p[k] for p in parts])
                    for k in keys}
-            _atomic_savez(checkpoint_path, chunks_done=c + 1, **acc)
+            _atomic_savez(checkpoint_path, chunks_done=c + 1,
+                          run_digest=digest, **acc)
             parts = [acc]
 
     acc = {k: np.concatenate([p[k] for p in parts]) for k in keys}

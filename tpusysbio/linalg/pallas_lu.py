@@ -194,16 +194,25 @@ def _gj_inverse_f32(a: jax.Array, interpret: bool = False) -> jax.Array:
         return (jnp.int32(0), jnp.int32(0), i)
 
     if _LAYOUT == "major":
-        out = pl.pallas_call(
-            _gj_batch_major_kernel,
-            out_shape=jax.ShapeDtypeStruct((Bp, n, n), a.dtype),
-            grid=(Bp // block,),
-            in_specs=[pl.BlockSpec((block, n, n), _imap_major,
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((block, n, n), _imap_major,
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(a)
+        def call_major(a_part, n_blocks):
+            return pl.pallas_call(
+                _gj_batch_major_kernel,
+                out_shape=jax.ShapeDtypeStruct(a_part.shape, a.dtype),
+                grid=(n_blocks,),
+                in_specs=[pl.BlockSpec((block, n, n), _imap_major,
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((block, n, n), _imap_major,
+                                       memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(a_part)
+
+        if n > 32 and Bp > block:
+            # same scoped-VMEM limit as the minor layout (see below)
+            out = lax.map(lambda ab: call_major(ab, 1),
+                          a.reshape(Bp // block, block, n, n))
+            out = out.reshape(Bp, n, n)
+        else:
+            out = call_major(a, Bp // block)
         return out[:B]
 
     at = jnp.transpose(a, (1, 2, 0))  # (n, n, Bp) batch-minor
