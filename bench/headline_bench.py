@@ -38,13 +38,23 @@ from tpusysbio.fit import latin_hypercube  # noqa: E402
 
 N = int(os.environ.get("TPUSYSBIO_HEADLINE_N", "256"))
 TOP_K = int(os.environ.get("TPUSYSBIO_HEADLINE_TOPK", "16"))
-ITER_CHUNK = int(os.environ.get("TPUSYSBIO_HEADLINE_ITER_CHUNK", "4"))
+# Iteration chunking bounds single-execution time. The SCREEN fit is an
+# un-chunked single execution by default (a b1024 8-iter screen runs
+# ~5 s — measured FASTER than two chunked calls, the per-call dispatch
+# overhead on the remote runtime being the difference); the POLISH keeps
+# bounded ~8 s calls (20 tight iters in one execution would approach the
+# runtime's observed per-call comfort zone).
+ITER_CHUNK = int(os.environ.get("TPUSYSBIO_HEADLINE_ITER_CHUNK", "0"))
+POLISH_ITER_CHUNK = int(os.environ.get(
+    "TPUSYSBIO_HEADLINE_POLISH_ITER_CHUNK", "4"))
 SOLVER = os.environ.get("TPUSYSBIO_HEADLINE_SOLVER", "pallas")
 SCREEN_ITERS = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_ITERS", "8"))
 # Screen the N starts in sequential batches of this size (0 = one batch).
-# Bounded batches keep each device execution small and sidestep a runtime
-# instability observed for single >=1024-member fit executions.
-SCREEN_CHUNK = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_CHUNK", "512"))
+# Bounded batches keep per-call time and checkpoint granularity sane;
+# 1024 measured fastest (fewer chunk boundaries; the round-2-era
+# >=1024-member instability no longer reproduces — big_batch_probe).
+SCREEN_CHUNK = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_CHUNK",
+                                  "1024"))
 POLISH_ITERS = int(os.environ.get("TPUSYSBIO_HEADLINE_POLISH_ITERS", "20"))
 # Screening-chunk checkpoint file ('' = off). See module docstring.
 CKPT = os.environ.get("TPUSYSBIO_HEADLINE_CKPT", "")
@@ -100,7 +110,7 @@ def main():
         screen_cfg, iter_chunk=ITER_CHUNK, with_cov=False)
     polish_run = make_multistart_runner(
         proj_tight.residuals, proj_tight.residuals_and_jacobian,
-        polish_cfg, iter_chunk=ITER_CHUNK)
+        polish_cfg, iter_chunk=POLISH_ITER_CHUNK)
 
     n_chunks = starts.shape[0] // chunk
 
