@@ -214,6 +214,45 @@ def test_checkpoint_resume_rejects_incompatible(tmp_path):
                                np.asarray(plain.cost))
 
 
+def test_checkpoint_digest_covers_config_and_tag(tmp_path):
+    """Resuming after a tolerance/eval-mode change or under a different
+    objective tag must restart from chunk 0 — mixing chunks of two
+    different runs is silent corruption (ADVICE r3: the digest previously
+    fingerprinted only starts/chunking/trace_len)."""
+    from tpusysbio.fit.multistart import (make_multistart_runner,
+                                          run_chunked)
+
+    theta0s = jnp.asarray([[-1.2, 1.0], [-0.5, 0.5],
+                           [0.3, -0.2], [1.5, 2.0]])
+    cfg = FitConfig(max_iter=10)
+    runner = make_multistart_runner(_rosenbrock_residuals, _rosenbrock_rj,
+                                    cfg)
+    ck = str(tmp_path / "digest.npz")
+    _, resumed = run_chunked(runner, theta0s, 2, checkpoint_path=ck,
+                             trace_len=cfg.max_iter, config=cfg,
+                             run_tag="rosenbrock")
+    assert resumed == 0
+    # same config + tag: resumes all chunks
+    _, resumed = run_chunked(runner, theta0s, 2, checkpoint_path=ck,
+                             trace_len=cfg.max_iter, config=cfg,
+                             run_tag="rosenbrock")
+    assert resumed == 2
+    # changed ftol (same max_iter, so trace shapes are compatible and the
+    # pre-fix digest would wrongly resume): restart
+    cfg2 = FitConfig(max_iter=10, ftol=1e-3)
+    runner2 = make_multistart_runner(_rosenbrock_residuals, _rosenbrock_rj,
+                                     cfg2)
+    _, resumed = run_chunked(runner2, theta0s, 2, checkpoint_path=ck,
+                             trace_len=cfg2.max_iter, config=cfg2,
+                             run_tag="rosenbrock")
+    assert resumed == 0
+    # different objective identity (run_tag): restart
+    _, resumed = run_chunked(runner2, theta0s, 2, checkpoint_path=ck,
+                             trace_len=cfg2.max_iter, config=cfg2,
+                             run_tag="other-model")
+    assert resumed == 0
+
+
 def test_run_chunked_rank_channels(tmp_path):
     """Screening mode: with_cov=False runner + channels='rank' carries
     only ranking channels (cov None), matches the full path's ranking,

@@ -130,3 +130,30 @@ def test_fused_refine_solve_nested_vmap():
     y = jax.vmap(jax.vmap(solve_one))(a, b)
     y_ref = np.linalg.solve(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=0, atol=1e-10)
+
+
+def test_fused_refine_solve_unbatched_operands_broadcast():
+    """A vmap with SHARED factorization against a batched RHS
+    (in_axes=(None, None, 0)) must broadcast the unbatched operands along
+    the new axis inside the custom_vmap rule (ADVICE r3: it previously
+    re-entered with the operands as-is and failed in the reshape)."""
+    rng = np.random.default_rng(1)
+    n = 10
+    a = jnp.asarray(np.eye(n) - 0.08 * rng.standard_normal((n, n)))
+    b = jnp.asarray(rng.standard_normal((6, n, 1)))
+    fact = pallas_lu.factor_for_solve(a)
+
+    y = jax.vmap(lambda bb: pallas_lu.solve_refined(fact, bb))(b)
+    y_ref = np.linalg.solve(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=0, atol=1e-10)
+    # and the mirror case: batched matrix, shared RHS
+    a_b = jnp.asarray(np.eye(n)[None]
+                      - 0.08 * rng.standard_normal((5, n, n)))
+    b_s = jnp.asarray(rng.standard_normal((n, 1)))
+
+    def solve_one(aa):
+        return pallas_lu.solve_refined(pallas_lu.factor_for_solve(aa), b_s)
+
+    y2 = jax.vmap(solve_one)(a_b)
+    y2_ref = np.linalg.solve(np.asarray(a_b), np.asarray(b_s)[None])
+    np.testing.assert_allclose(np.asarray(y2), y2_ref, rtol=0, atol=1e-10)

@@ -123,9 +123,12 @@ def cmd_bench(args):
 _FREE_PARAMS = {
     # sensible identifiable free sets per canonical config; None = all
     "mm3": None,
+    "lotka": None,
     "repressilator": None,
     "jakstat": ("k1", "k2", "k3", "k4"),
     "mapk22": "KKPP+K|KPase+KP",   # 12 MAPK-layer rate constants
+    # receptor module + layer-0 kinase/phosphatase rates (bench/egfr_bench)
+    "egfr": "L+Rec|LR+A0_0|LR+A0_1|P0+A0_1",
 }
 
 
@@ -145,6 +148,19 @@ def cmd_multistart(args):
     from tpusysbio.fit import latin_hypercube
     from tpusysbio.fit.multistart import multistart_two_phase
     from tpusysbio.project import ParameterMap, Project
+
+    spec = None
+    if getattr(args, "config", None):
+        from tpusysbio.config import load_config
+
+        spec = load_config(args.config)
+        args.model = spec.model
+        for k, v in spec.run.items():
+            key = k.replace("-", "_")
+            if not hasattr(args, key):
+                raise SystemExit(f"config run key {k!r} is not a "
+                                 "multistart setting")
+            setattr(args, key, v)
 
     build, p_true = _models()[args.model]
     model = build()
@@ -179,18 +195,38 @@ def cmd_multistart(args):
     theta_true = pmap.pack(
         {n: p_true[model.param_names.index(n)] for n in free})
 
-    proj_tight = Project(
-        model=model, pmap=pmap, batch=batch,
-        config=SolverConfig(rtol=args.rtol, atol=args.atol,
-                            max_steps=args.max_steps,
-                            linear_solver=args.linear_solver,
-                            sens_precision="f32"))
-    proj_screen = dataclasses.replace(
-        proj_tight,
-        config=SolverConfig(rtol=1e-3, atol=1e-6,
-                            max_steps=max(64, args.max_steps // 4),
-                            linear_solver=args.linear_solver,
-                            mixed_precision=True))
+    if spec is not None:
+        tight_cfg = spec.solver
+        screen_cfg = spec.screen_solver or dataclasses.replace(
+            tight_cfg, rtol=1e-3, atol=1e-6, mixed_precision=True,
+            sens_precision="full",
+            max_steps=max(64, tight_cfg.max_steps // 4))
+        polish_fit_cfg = spec.fit
+        screen_fit_cfg = spec.screen_fit or dataclasses.replace(
+            polish_fit_cfg, max_iter=args.screen_iters, ftol=1e-4,
+            xtol=1e-4)
+    else:
+        tight_cfg = SolverConfig(rtol=args.rtol, atol=args.atol,
+                                 max_steps=args.max_steps,
+                                 linear_solver=args.linear_solver,
+                                 sens_precision="f32")
+        screen_cfg = SolverConfig(rtol=1e-3, atol=1e-6,
+                                  max_steps=max(64, args.max_steps // 4),
+                                  linear_solver=args.linear_solver,
+                                  mixed_precision=True)
+        polish_fit_cfg = FitConfig(max_iter=args.polish_iters,
+                                   eval_mode="lockstep")
+        screen_fit_cfg = FitConfig(max_iter=args.screen_iters,
+                                   eval_mode="lockstep", ftol=1e-4,
+                                   xtol=1e-4)
+    mesh = None
+    if spec is not None and spec.mesh is not None:
+        from tpusysbio.utils import make_mesh
+
+        mesh = make_mesh(config=spec.mesh)
+    proj_tight = Project(model=model, pmap=pmap, batch=batch,
+                         config=tight_cfg)
+    proj_screen = dataclasses.replace(proj_tight, config=screen_cfg)
 
     starts = latin_hypercube(jax.random.PRNGKey(args.seed), args.starts,
                              theta_true - args.spread,
@@ -201,11 +237,8 @@ def cmd_multistart(args):
         polish, screen = multistart_two_phase(
             (proj_screen.residuals, proj_screen.residuals_and_jacobian),
             (proj_tight.residuals, proj_tight.residuals_and_jacobian),
-            starts,
-            FitConfig(max_iter=args.screen_iters, eval_mode="lockstep",
-                      ftol=1e-4, xtol=1e-4),
-            FitConfig(max_iter=args.polish_iters, eval_mode="lockstep"),
-            top_k=top_k, iter_chunk=args.iter_chunk)
+            starts, screen_fit_cfg, polish_fit_cfg,
+            top_k=top_k, mesh=mesh, iter_chunk=args.iter_chunk)
         jax.block_until_ready(polish.cost)
     wall = time.perf_counter() - t0
 
@@ -276,6 +309,10 @@ def main(argv=None):
     p_ms = sub.add_parser(
         "multistart",
         help="two-phase multi-start fit pipeline on a canonical config")
+    p_ms.add_argument("--config", default=None, metavar="FILE",
+                      help="YAML/JSON RunSpec (configs/ ships one per "
+                           "canonical config); file settings override "
+                           "flag defaults")
     p_ms.add_argument("--model", default="mapk22",
                       choices=list(_FREE_PARAMS.keys()))
     p_ms.add_argument("--starts", type=int, default=64)

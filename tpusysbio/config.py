@@ -131,8 +131,107 @@ class MeshConfig:
     """Device-mesh layout for multi-start ensemble parallelism.
 
     The only mesh axis is ``starts`` — multi-start members shard across
-    chips; integration itself is collective-free lockstep (SURVEY.md §2c/§3.4).
+    chips; integration itself is collective-free lockstep (SURVEY.md
+    §2c/§3.4). Consumed by ``tpusysbio.utils.make_mesh(config=...)`` and
+    produced by the YAML/JSON loader below.
     """
 
     axis_names: Tuple[str, ...] = ("starts",)
     axis_sizes: Optional[Tuple[int, ...]] = None  # None -> all local devices
+
+
+# ---------------------------------------------------------------------------
+# YAML/JSON config loader (SURVEY.md §5 "Config / flag system": frozen
+# jit-static dataclasses, YAML/JSON loadable for the 5 canonical configs).
+# ``configs/`` at the repo root ships one file per BASELINE.json:7-11 config;
+# the CLI consumes them via ``tpusysbio multistart --config file.yaml``.
+
+@dataclasses.dataclass(frozen=True)
+class RunSpec:
+    """One declarative fit run: model + solver/fit configs + run settings.
+
+    ``run`` holds the driver-level knobs (starts, top_k, iteration splits,
+    data synthesis settings) — plain values, validated by the consumer.
+    """
+
+    model: str
+    solver: SolverConfig = SolverConfig()
+    screen_solver: Optional[SolverConfig] = None
+    fit: FitConfig = FitConfig()
+    screen_fit: Optional[FitConfig] = None
+    mesh: Optional[MeshConfig] = None
+    run: dict = dataclasses.field(default_factory=dict)
+
+
+def _build(cls, d: dict):
+    """Construct a frozen config dataclass from a mapping, rejecting
+    unknown keys (a typo in a YAML file must fail loudly, not silently
+    fall back to a default) and coercing list-valued fields to tuples
+    (YAML has no tuple literal; the dataclasses are hashable/jit-static
+    only with tuples)."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        raise ValueError(
+            f"unknown {cls.__name__} keys: {sorted(unknown)}; "
+            f"valid keys: {sorted(names)}")
+    coerced = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in d.items()}
+    return cls(**coerced)
+
+
+def load_config(source) -> RunSpec:
+    """Load a ``RunSpec`` from a YAML/JSON file path or an already-parsed
+    mapping.
+
+    File format (sections all optional except ``model``)::
+
+        model: mapk22
+        solver:        {rtol: 1.0e-6, linear_solver: pallas}
+        screen_solver: {rtol: 1.0e-3, mixed_precision: true}
+        fit:           {max_iter: 20, eval_mode: lockstep}
+        screen_fit:    {max_iter: 8, ftol: 1.0e-4}
+        mesh:          {axis_names: [starts]}
+        run:           {starts: 1024, top_k: 64, seed: 0}
+
+    JSON files (same structure) load through ``json`` so the loader has
+    zero hard dependency on PyYAML; ``.yaml``/``.yml`` files require it.
+    """
+    if isinstance(source, dict):
+        raw = dict(source)
+    else:
+        path = str(source)
+        with open(path) as fh:
+            text = fh.read()
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            raw = yaml.safe_load(text)
+        else:
+            import json
+
+            raw = json.loads(text)
+    if not isinstance(raw, dict):
+        raise ValueError(f"config must be a mapping, got {type(raw)}")
+    known = {"model", "solver", "screen_solver", "fit", "screen_fit",
+             "mesh", "run"}
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"unknown config sections: {sorted(unknown)}; "
+                         f"valid: {sorted(known)}")
+    if "model" not in raw:
+        raise ValueError("config requires a 'model' entry")
+
+    def section(key, cls):
+        if key not in raw or raw[key] is None:
+            return None
+        return _build(cls, dict(raw[key]))
+
+    return RunSpec(
+        model=str(raw["model"]),
+        solver=section("solver", SolverConfig) or SolverConfig(),
+        screen_solver=section("screen_solver", SolverConfig),
+        fit=section("fit", FitConfig) or FitConfig(),
+        screen_fit=section("screen_fit", FitConfig),
+        mesh=section("mesh", MeshConfig),
+        run=dict(raw.get("run") or {}))

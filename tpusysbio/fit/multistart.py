@@ -242,17 +242,25 @@ def _atomic_savez(path: str, **arrays) -> None:
     os.replace(tmp, path)
 
 
-def _run_digest(theta0s, chunk_size: int, trace_len: int) -> np.ndarray:
-    """Fingerprint of (start set, chunking, fit budget) stored in every
-    checkpoint: a resumed run must be THE SAME run. Chunks fit from a
-    different N (LHS start sets depend on N), different starts, a
-    different chunk size, or a different iteration budget must never be
-    silently mixed with fresh chunks."""
+def _run_digest(theta0s, chunk_size: int, trace_len: int,
+                config: Optional[FitConfig] = None,
+                run_tag: str = "") -> np.ndarray:
+    """Fingerprint of (start set, chunking, fit budget, fit config,
+    caller tag) stored in every checkpoint: a resumed run must be THE
+    SAME run. Chunks fit from a different N (LHS start sets depend on N),
+    different starts, a different chunk size, a different iteration
+    budget, different tolerances/eval mode, or a different objective
+    (identified by ``run_tag`` — the config cannot see the model) must
+    never be silently mixed with fresh chunks."""
     import hashlib
 
     h = hashlib.sha256(np.ascontiguousarray(
         np.asarray(theta0s, np.float64)).tobytes())
     h.update(np.int64([chunk_size, trace_len]).tobytes())
+    if config is not None:
+        import dataclasses as _dc
+        h.update(repr(sorted(_dc.asdict(config).items())).encode())
+    h.update(run_tag.encode())
     return np.frombuffer(h.digest(), np.uint8)
 
 
@@ -295,6 +303,8 @@ def run_chunked(
     resume: bool = True,
     trace_len: int = 0,
     channels: str = "all",
+    config: Optional[FitConfig] = None,
+    run_tag: str = "",
 ):
     """Run a persistent ``make_multistart_runner`` callable over
     sequential chunks of ``theta0s`` with per-chunk checkpointing.
@@ -303,11 +313,15 @@ def run_chunked(
     ``checkpoint_path``, every completed chunk is persisted ATOMICALLY;
     a re-run with ``resume=True`` continues after the last completed
     chunk. A checkpoint only resumes if it is THE SAME run: the file
-    carries a digest of (starts, chunk_size, trace_len) and a
-    missing/corrupt/old-format/different-run checkpoint restarts cleanly
-    from chunk 0. ``resume=False`` ignores and overwrites any existing
-    file. ``trace_len`` must be the fit config's ``max_iter`` (part of
-    the digest, so a changed iteration budget restarts too).
+    carries a digest of (starts, chunk_size, trace_len, fit config,
+    run_tag) and a missing/corrupt/old-format/different-run checkpoint
+    restarts cleanly from chunk 0. ``resume=False`` ignores and
+    overwrites any existing file. ``trace_len`` must be the fit config's
+    ``max_iter`` (part of the digest, so a changed iteration budget
+    restarts too). Pass the runner's ``config`` so tolerance/eval-mode
+    changes restart, and a ``run_tag`` naming the objective/model —
+    the digest cannot see through the runner closure, so two different
+    models with identical starts are only distinguished by the tag.
 
     ``channels='all'`` carries every per-member channel (the default —
     field-for-field identical with the plain path); ``'rank'`` keeps
@@ -326,7 +340,7 @@ def run_chunked(
     if N % chunk_size:
         raise ValueError("chunk_size must divide the number of starts")
     n_chunks = N // chunk_size
-    digest = _run_digest(theta0s, chunk_size, trace_len)
+    digest = _run_digest(theta0s, chunk_size, trace_len, config, run_tag)
     done, parts = 0, []
     if checkpoint_path and resume:
         acc, done = _load_checkpoint(checkpoint_path, keys,
@@ -402,7 +416,7 @@ def multistart_fit(
 
     res, _ = run_chunked(run, theta0s, chunk_size,
                          checkpoint_path=checkpoint_path,
-                         trace_len=config.max_iter)
+                         trace_len=config.max_iter, config=config)
     return res
 
 

@@ -379,10 +379,12 @@ def _schur_inverse(a: jax.Array) -> jax.Array:
     bot = jnp.concatenate([b21, xs], axis=-1)
     x = jnp.concatenate([top, bot], axis=-2)
     # residual guard (see docstring): one extra batched f32 matmul vs the
-    # six above. Newton-Schulz converges iff ‖I − AX‖ < 1; 0.5 leaves
+    # six above. Newton-Schulz converges iff the OPERATOR norm of I − AX
+    # is < 1, so the guard uses the induced ∞-norm (max row sum) — the
+    # element-wise max can under-read it by up to n× at n≈128. 0.5 leaves
     # margin while staying far above the eps32·κ·n of any healthy member.
     eye = jnp.eye(n, dtype=x.dtype)
-    resid = jnp.max(jnp.abs(eye - a @ x), axis=(-2, -1))
+    resid = jnp.max(jnp.sum(jnp.abs(eye - a @ x), axis=-1), axis=-1)
     return jnp.where((resid < 0.5)[:, None, None], x, jnp.nan)
 
 
@@ -615,9 +617,17 @@ def _refine_solve(x32, a, b):
 
 @_refine_solve.def_vmap
 def _refine_solve_vmap(axis_size, in_batched, x32, a, b):
-    # re-enter so nested vmaps collapse into the kernel batch
-    del axis_size, in_batched
-    return _refine_solve(x32, a, b), True
+    # Re-enter so nested vmaps collapse into the kernel batch. Unbatched
+    # operands (e.g. a shared factorization against a batched RHS,
+    # in_axes=(None, None, 0)) are materialized along the new axis first —
+    # custom_vmap rules receive operands as-is, and the reshape-based
+    # collapse below the re-entry needs every operand to carry the axis.
+    ops = []
+    for batched, op in zip(in_batched, (x32, a, b)):
+        if not batched:
+            op = jnp.broadcast_to(op[None], (axis_size,) + op.shape)
+        ops.append(op)
+    return _refine_solve(*ops), True
 
 
 def factor_for_solve(a: jax.Array):

@@ -19,6 +19,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh
 
+from tpusysbio.config import MeshConfig
+
 
 @contextlib.contextmanager
 def sanitizer(nans: bool = True, checks: bool = True):
@@ -45,11 +47,23 @@ def sanitizer(nans: bool = True, checks: bool = True):
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_name: str = "starts") -> Mesh:
+              axis_name: str = "starts",
+              config: Optional["MeshConfig"] = None) -> Mesh:
     """1-D device mesh over the ensemble axis (all local devices by
     default). On a v5e-8 this is the 8-chip 'starts' mesh of SURVEY.md
     §3.4; under ``--xla_force_host_platform_device_count=8`` it is the
-    fake CPU mesh used by the distributed tests."""
+    fake CPU mesh used by the distributed tests.
+
+    A ``MeshConfig`` (tpusysbio.config) supplies the same layout
+    declaratively — the form the YAML/JSON config loader produces
+    (``config.load_config``); explicit arguments override it."""
+    if config is not None:
+        if len(config.axis_names) != 1:
+            raise ValueError("the ensemble mesh is 1-D (SURVEY.md §2c); "
+                             f"got axes {config.axis_names!r}")
+        axis_name = config.axis_names[0]
+        if n_devices is None and config.axis_sizes is not None:
+            n_devices = config.axis_sizes[0]
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
