@@ -75,18 +75,57 @@ class Experiment:
     ``fixed_params`` maps model-parameter name -> value, expressing the
     reference's condition settings (e.g. input dose, knockout -> rate 0).
     ``t0`` starts the integration; the horizon is the last measurement time.
+
+    ``inputs`` expresses the reference domain's TIMED perturbations —
+    stimulus at t>0, dose steps, washout — the capability the reference
+    stack implements with ``solve_ivp`` events + restarts (spec:
+    ``scipy/integrate/_ivp/ivp.py:29-158``; SURVEY.md §2a #12, #4). Event
+    times in this domain are known constants, so the TPU-native mechanism
+    is STATIC segment boundaries: each ``(time, param_name, value)`` entry
+    clamps one model parameter to a constant from ``time`` onward (a later
+    entry for the same parameter supersedes it — washout is a second
+    entry restoring the basal value as a constant). The Project integrates
+    segment-by-segment with state carried over and sensitivity columns
+    chained (an overridden parameter's direction column is zeroed while
+    clamped) — no data-dependent control flow, vmappable.
+
+    ``preequilibrate=True`` replaces ``y0(p)`` with the algebraic steady
+    state under BASAL parameters (``p`` overridden by ``preeq_params``),
+    solved by damped Newton with implicit-function-theorem dy*/dp chained
+    into the trajectory sensitivity initial condition — the standard
+    multi-experiment workflow (equilibrate under basal conditions, then
+    perturb; BASELINE.json:10).
     """
 
     name: str
     measurements: Tuple[Measurement, ...]
     fixed_params: dict = dataclasses.field(default_factory=dict)
     t0: float = 0.0
+    # timed perturbations: ((time, param_name, value), ...)
+    inputs: Tuple[Tuple[float, str, float], ...] = ()
+    preequilibrate: bool = False
+    # basal-condition overrides for the pre-equilibration solve
+    preeq_params: dict = dataclasses.field(default_factory=dict)
 
     def all_times(self) -> np.ndarray:
         ts = np.unique(np.concatenate(
             [m.times for m in self.measurements if not m.steady_state]
             + [np.asarray([self.t0])]))
         return ts
+
+    def event_times(self) -> np.ndarray:
+        """Distinct input times strictly inside (t0, t_end) — the segment
+        boundaries. Inputs at exactly ``t0`` modify segment 0 and add no
+        boundary; inputs at/after the horizon are rejected."""
+        if not self.inputs:
+            return np.zeros(0)
+        t_end = float(self.all_times()[-1])
+        ts = np.unique([float(t) for t, _, _ in self.inputs])
+        if (ts < self.t0).any() or (ts >= t_end).any():
+            raise ValueError(
+                f"experiment {self.name!r}: input times must lie in "
+                f"[t0={self.t0}, t_end={t_end})")
+        return ts[ts > self.t0]
 
 
 @jax.tree_util.register_dataclass
@@ -130,6 +169,28 @@ class ExperimentBatch:
     # batches).
     has_steady: bool = dataclasses.field(
         metadata=dict(static=True), default=False)
+    # Timed perturbations (``Experiment.inputs``): [t0, tf] partitioned
+    # into ``n_segments`` static segments. Experiments with fewer events
+    # than the batch maximum carry trailing zero-length [t_end, t_end]
+    # segments, which the steppers no-op (solvers/common.status_init).
+    #   seg_bounds: (E, S+1) boundaries (t0 ... t_end, padded with t_end)
+    #   seg_mask:   (E, S, P) bool — parameter overridden in segment s
+    #   seg_vals:   (E, S, P) clamp values where seg_mask
+    # These require ``param_names`` at construction (the batch is
+    # otherwise model-agnostic); None for pure-constant-condition batches.
+    seg_bounds: Optional[jax.Array] = None
+    seg_mask: Optional[jax.Array] = None
+    seg_vals: Optional[jax.Array] = None
+    n_segments: int = dataclasses.field(metadata=dict(static=True),
+                                        default=1)
+    # Pre-equilibration (``Experiment.preequilibrate``):
+    #   preeq:      (E,) bool — y0 = steady state under basal parameters
+    #   preeq_mask: (E, P) bool / preeq_vals: (E, P) basal overrides
+    preeq: Optional[jax.Array] = None
+    preeq_mask: Optional[jax.Array] = None
+    preeq_vals: Optional[jax.Array] = None
+    has_preeq: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
 
     @property
     def n_experiments(self) -> int:
@@ -149,8 +210,14 @@ class ExperimentBatch:
 
     @staticmethod
     def from_experiments(experiments: Sequence[Experiment],
-                         dtype=jnp.float64) -> "ExperimentBatch":
-        """Pad & pack host-side experiments into one static batch."""
+                         dtype=jnp.float64,
+                         param_names: Optional[Sequence[str]] = None,
+                         ) -> "ExperimentBatch":
+        """Pad & pack host-side experiments into one static batch.
+
+        ``param_names`` (the model's parameter order) is required when any
+        experiment declares timed ``inputs`` or ``preequilibrate`` — those
+        override model parameters by name."""
         E = len(experiments)
         grids = [e.all_times() for e in experiments]
         T = max(g.shape[0] for g in grids)
@@ -198,6 +265,72 @@ class ExperimentBatch:
                     mask[e_i, j] = True
                     j += 1
 
+        # --- timed perturbations -> static segments --------------------
+        any_inputs = any(exp.inputs for exp in experiments)
+        any_preeq = any(exp.preequilibrate for exp in experiments)
+        if (any_inputs or any_preeq) and param_names is None:
+            raise ValueError(
+                "experiments with timed inputs or preequilibrate need "
+                "param_names= (the model's parameter order)")
+        seg_kwargs = {}
+        if any_inputs:
+            P = len(param_names)
+            name_idx = {n: i for i, n in enumerate(param_names)}
+            events = [exp.event_times() for exp in experiments]
+            S = max(ev.shape[0] for ev in events) + 1
+            seg_bounds = np.zeros((E, S + 1))
+            seg_mask = np.zeros((E, S, P), dtype=bool)
+            seg_vals = np.zeros((E, S, P))
+            for e_i, exp in enumerate(experiments):
+                ev = events[e_i]
+                bounds = np.concatenate(
+                    [[exp.t0], ev,
+                     np.full(S - ev.shape[0], t_end[e_i])])
+                seg_bounds[e_i] = bounds
+                # forward-fill overrides: an input at time t clamps its
+                # parameter in every segment starting at/after t, until a
+                # LATER input for the same parameter supersedes it
+                for t_in, pname, val in sorted(exp.inputs,
+                                               key=lambda iv: iv[0]):
+                    if pname not in name_idx:
+                        raise ValueError(
+                            f"experiment {exp.name!r}: unknown input "
+                            f"parameter {pname!r}")
+                    j = name_idx[pname]
+                    active = bounds[:-1] >= float(t_in) - 1e-12
+                    seg_mask[e_i, active, j] = True
+                    seg_vals[e_i, active, j] = float(val)
+            seg_kwargs = dict(
+                seg_bounds=jnp.asarray(seg_bounds, dtype),
+                seg_mask=jnp.asarray(seg_mask),
+                seg_vals=jnp.asarray(seg_vals, dtype),
+                n_segments=S)
+        preeq_kwargs = {}
+        if any_preeq:
+            P = len(param_names)
+            name_idx = {n: i for i, n in enumerate(param_names)}
+            preeq = np.zeros((E,), dtype=bool)
+            preeq_mask = np.zeros((E, P), dtype=bool)
+            preeq_vals = np.zeros((E, P))
+            for e_i, exp in enumerate(experiments):
+                preeq[e_i] = exp.preequilibrate
+                for pname, val in exp.preeq_params.items():
+                    if pname not in name_idx:
+                        raise ValueError(
+                            f"experiment {exp.name!r}: unknown preeq "
+                            f"parameter {pname!r}")
+                    if not exp.preequilibrate:
+                        raise ValueError(
+                            f"experiment {exp.name!r}: preeq_params "
+                            "without preequilibrate=True")
+                    preeq_mask[e_i, name_idx[pname]] = True
+                    preeq_vals[e_i, name_idx[pname]] = float(val)
+            preeq_kwargs = dict(
+                preeq=jnp.asarray(preeq),
+                preeq_mask=jnp.asarray(preeq_mask),
+                preeq_vals=jnp.asarray(preeq_vals, dtype),
+                has_preeq=True)
+
         return ExperimentBatch(
             t_eval=jnp.asarray(t_eval, dtype), t0=jnp.asarray(t0, dtype),
             t_end=jnp.asarray(t_end, dtype),
@@ -207,4 +340,4 @@ class ExperimentBatch:
             group=jnp.asarray(group), mask=jnp.asarray(mask),
             m_is_ss=jnp.asarray(m_is_ss),
             n_groups=len(group_names), group_names=tuple(group_names),
-            has_steady=bool(m_is_ss.any()))
+            has_steady=bool(m_is_ss.any()), **seg_kwargs, **preeq_kwargs)

@@ -110,45 +110,124 @@ class Project:
             raise ValueError(f"unknown sens_mode {self.sens_mode!r}")
         return self.pmap.n_global < self.model.n_params
 
-    def _sim_one(self, p_e, t0, t_end, t_eval, has_ss, with_sens: bool,
-                 C_e=None):
-        """Simulate one experiment. With ``C_e`` (P, G) — the parameter
-        chain dp/dθ — sensitivities are propagated directly in θ space
-        (G columns); otherwise in model-parameter space (P columns)."""
+    def _make_seg_fns(self, p_k, C_e, dirs_k, with_sens: bool):
+        """RHS / Jacobian / sensitivity-RHS closures for ONE parameter
+        vector ``p_k`` (one segment's effective parameters). ``dirs_k``
+        (P,) zeroes the direction of parameters clamped to constants in
+        this segment (their dp_k/dp vanishes while clamped); None means
+        no clamping (the single-segment fast path keeps the closed-form
+        full-column ``rhs_sens`` when available)."""
         model = self.model
-        solve = self._solver_fn()
-        y0 = model.y0(p_e)
         theta_sens = C_e is not None
 
         def f(t, y):
             # dtype-following: enables the stepper's mixed-precision mode
-            return model.rhs(t, y, p_e.astype(y.dtype))
+            return model.rhs(t, y, p_k.astype(y.dtype))
 
         jac = (None if model.rhs_jac is None
                else (lambda t, y: model.rhs_jac(t, y,
-                                                p_e.astype(y.dtype))))
-        if with_sens:
-            if theta_sens:
-                if model.rhs_sens_dir is not None:
-                    sens_rhs = lambda t, y, S: model.rhs_sens_dir(  # noqa: E731
-                        t, y, S, p_e, C_e)
-                else:
-                    sens_rhs = make_sens_rhs_dir(model.rhs, p_e, C_e)
-                s0 = jax.jacfwd(model.y0)(p_e) @ C_e
+                                                p_k.astype(y.dtype))))
+        if not with_sens:
+            return f, jac, None
+        if theta_sens:
+            C_k = C_e if dirs_k is None else C_e * dirs_k[:, None]
+            if model.rhs_sens_dir is not None:
+                sens_rhs = lambda t, y, S: model.rhs_sens_dir(  # noqa: E731
+                    t, y, S, p_k, C_k)
             else:
-                if model.rhs_sens is not None:
-                    sens_rhs = lambda t, y, S: model.rhs_sens(  # noqa: E731
-                        t, y, S, p_e)
-                else:
-                    sens_rhs = make_sens_rhs(model.rhs, p_e)
-                s0 = jax.jacfwd(model.y0)(p_e)
-            res = solve(f, (t0, t_end), y0, t_eval, config=self.config,
-                        sens_rhs=sens_rhs, s0=s0, jac=jac)
+                sens_rhs = make_sens_rhs_dir(model.rhs, p_k, C_k)
+        elif dirs_k is None:
+            if model.rhs_sens is not None:
+                sens_rhs = lambda t, y, S: model.rhs_sens(  # noqa: E731
+                    t, y, S, p_k)
+            else:
+                sens_rhs = make_sens_rhs(model.rhs, p_k)
         else:
-            res = solve(f, (t0, t_end), y0, t_eval, config=self.config,
-                        jac=jac)
+            # params mode with clamped parameters: full P columns, but
+            # clamped directions contribute no ∂f/∂p term this segment
+            C_k = jnp.diag(dirs_k)
+            if model.rhs_sens_dir is not None:
+                sens_rhs = lambda t, y, S: model.rhs_sens_dir(  # noqa: E731
+                    t, y, S, p_k, C_k)
+            else:
+                sens_rhs = make_sens_rhs_dir(model.rhs, p_k, C_k)
+        return f, jac, sens_rhs
 
-        # observables g(y, p) and their total parameter derivative
+    def _sim_one(self, p_e, t0, t_end, t_eval, has_ss, with_sens: bool,
+                 C_e=None, segs=None, preeq=None):
+        """Simulate one experiment. With ``C_e`` (P, G) — the parameter
+        chain dp/dθ — sensitivities are propagated directly in θ space
+        (G columns); otherwise in model-parameter space (P columns).
+
+        ``segs = (bounds (S+1,), mask (S, P), vals (S, P))`` integrates
+        segment-by-segment across the experiment's timed perturbations
+        (``Experiment.inputs``): state and sensitivity columns carry over
+        each static boundary (y and S are continuous — perturbation
+        values are constants), clamped parameters' direction columns are
+        zeroed while clamped, and padded zero-length segments no-op.
+
+        ``preeq = (flag, mask (P,), vals (P,))`` replaces y0 with the
+        steady state under basal parameters and chains the IFT dy*/dp
+        into the sensitivity initial condition (``Experiment
+        .preequilibrate``)."""
+        model = self.model
+        solve = self._solver_fn()
+        theta_sens = C_e is not None
+        P = p_e.shape[0]
+
+        if segs is not None:
+            bounds, smask, svals = segs
+            p0_eff = jnp.where(smask[0], svals[0], p_e)
+            dirs0 = (~smask[0]).astype(p_e.dtype)
+        else:
+            p0_eff, dirs0 = p_e, None
+
+        y0 = model.y0(p0_eff)
+        s0 = None
+        if with_sens:
+            dy0 = jax.jacfwd(model.y0)(p0_eff)  # (n, P)
+            if dirs0 is not None:
+                dy0 = dy0 * dirs0[None, :]
+            s0 = dy0 @ C_e if theta_sens else dy0
+
+        preeq_status_fail = None
+        if preeq is not None:
+            from tpusysbio.solvers.common import STATUS_SS_FAIL
+            from tpusysbio.solvers.steady_state import steady_state
+
+            pre_flag, pre_mask, pre_vals = preeq
+            p_basal = jnp.where(pre_mask, pre_vals, p_e)
+            ss0 = steady_state(
+                model.rhs, p_basal, model.y0(p_basal), config=self.config,
+                t_relax=self.ss_t_relax, max_newton=self.ss_max_newton,
+                with_sens=with_sens, jac_fn=model.rhs_jac)
+            y0 = jnp.where(pre_flag, ss0.y, y0)
+            if with_sens:
+                # IFT dy*/dp in model-parameter space; basal-clamped
+                # parameters are constants, so their columns vanish
+                s_pre = ss0.sens * (~pre_mask).astype(ss0.sens.dtype)
+                if theta_sens:
+                    s_pre = s_pre @ C_e
+                s0 = jnp.where(pre_flag, s_pre, s0)
+            preeq_status_fail = pre_flag & ~ss0.converged
+
+        if segs is None:
+            f, jac, sens_rhs = self._make_seg_fns(p_e, C_e, None,
+                                                  with_sens)
+            if with_sens:
+                res = solve(f, (t0, t_end), y0, t_eval,
+                            config=self.config, sens_rhs=sens_rhs, s0=s0,
+                            jac=jac)
+            else:
+                res = solve(f, (t0, t_end), y0, t_eval,
+                            config=self.config, jac=jac)
+        else:
+            res = self._sim_segments(p_e, bounds, smask, svals, t_eval,
+                                     y0, s0, C_e, with_sens, solve)
+
+        # observables g(y, p) and their total parameter derivative;
+        # evaluated with the BASE parameter vector (perturbations change
+        # the dynamics; the observation map stays the experiment's own)
         def obs(y):
             return model.observables(y, p_e)
 
@@ -174,6 +253,10 @@ class Project:
             obs_sens = None
 
         status = res.status
+        if preeq_status_fail is not None:
+            from tpusysbio.solvers.common import STATUS_SS_FAIL
+
+            status = jnp.where(preeq_status_fail, STATUS_SS_FAIL, status)
         if self.batch.has_steady:
             from tpusysbio.solvers.common import STATUS_SS_FAIL
             from tpusysbio.solvers.steady_state import steady_state
@@ -214,6 +297,72 @@ class Project:
                 res.nsteps)
 
     # ------------------------------------------------------------------
+    def _sim_segments(self, p_e, bounds, smask, svals, t_eval, y0, s0,
+                      C_e, with_sens: bool, solve):
+        """Piecewise integration across static segment boundaries (the
+        events-analogue; spec the reference stack meets with solve_ivp
+        events + restarts, ``scipy/integrate/_ivp/ivp.py:29-158``).
+
+        The segment COUNT is static (a Python loop over S solver calls
+        inside one jit); the boundaries are traced per experiment, so a
+        vmapped batch integrates heterogeneous event schedules in
+        lockstep, and experiments with fewer events no-op their padded
+        zero-length trailing segments (solvers/common.status_init)."""
+        from tpusysbio.solvers.common import (STATUS_DONE, IntegrateResult)
+
+        S = smask.shape[0]
+        n = y0.shape[0]
+        dtype = y0.dtype
+        T = t_eval.shape[0]
+        m = s0.shape[1] if with_sens else 0
+        ys_tot = jnp.zeros((T, n), dtype)
+        sens_tot = jnp.zeros((T, n, m), dtype)
+        y_c, s_c = y0, s0
+        status = None
+        counters = None
+        for k in range(S):
+            t_lo, t_hi = bounds[k], bounds[k + 1]
+            p_k = jnp.where(smask[k], svals[k], p_e)
+            dirs_k = (~smask[k]).astype(p_e.dtype)
+            f, jac, sens_rhs = self._make_seg_fns(p_k, C_e, dirs_k,
+                                                  with_sens)
+            if with_sens:
+                res = solve(f, (t_lo, t_hi), y_c, t_eval,
+                            config=self.config, sens_rhs=sens_rhs,
+                            s0=s_c, jac=jac)
+            else:
+                res = solve(f, (t_lo, t_hi), y_c, t_eval,
+                            config=self.config, jac=jac)
+            # the solver fills t_eval points in [t_lo, t_hi] only (t_lo
+            # via the at-t0 prefill); boundary points are written by both
+            # adjoining segments with the SAME carried state
+            filled = (t_eval >= t_lo) & (t_eval <= t_hi)
+            ys_tot = jnp.where(filled[:, None], res.ys, ys_tot)
+            if with_sens:
+                sens_tot = jnp.where(filled[:, None, None],
+                                     res.sens.astype(dtype), sens_tot)
+            # continuity across the boundary: state and sensitivity
+            # columns carry over (perturbation values are constants, so
+            # y(e+) = y(e-) and S(e+) = S(e-))
+            y_c = res.y_final[:, 0]
+            if with_sens:
+                s_c = res.y_final[:, 1:]
+            # first failure wins; zero-length segments report DONE
+            status = (res.status if status is None else
+                      jnp.where(status == STATUS_DONE, res.status, status))
+            cs = (res.nsteps, res.naccepted, res.nrejected, res.nfev,
+                  res.njev, res.nlu, res.order_hist)
+            counters = cs if counters is None else tuple(
+                a + b for a, b in zip(counters, cs))
+        return IntegrateResult(
+            ys=ys_tot, sens=sens_tot, status=status, nsteps=counters[0],
+            naccepted=counters[1], nrejected=counters[2],
+            nfev=counters[3], njev=counters[4], nlu=counters[5],
+            order_hist=counters[6], t_final=bounds[-1],
+            y_final=jnp.concatenate(
+                [y_c[:, None]] + ([s_c] if with_sens else []), axis=1))
+
+    # ------------------------------------------------------------------
     def _gathered(self, theta, with_jac: bool):
         b = self.batch
         p_all = self.pmap.expand(theta)  # (E, P)
@@ -226,20 +375,28 @@ class Project:
 
         theta_mode = with_jac and self._theta_sens
         has_ss_e = b.m_is_ss.any(axis=1)  # (E,) experiments with SS rows
+        args = [p_all, b.t0, b.t_end, b.t_eval, has_ss_e]
         if theta_mode:
-            chain = self.pmap.chain(theta)  # (E, P, G) = dp/dθ rows
-            sim_fn = lambda p_e, t0, t_end, t_eval, has_ss, C_e: \
-                self._sim_one(p_e, t0, t_end, t_eval, has_ss,
-                              with_sens=True, C_e=C_e)  # noqa: E731
-            (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
-             nsteps) = jax.vmap(sim_fn)(p_all, b.t0, b.t_end, b.t_eval,
-                                        has_ss_e, chain)
-        else:
-            sim_fn = lambda p_e, t0, t_end, t_eval, has_ss: self._sim_one(  # noqa: E731
-                p_e, t0, t_end, t_eval, has_ss, with_sens=with_jac)
-            (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
-             nsteps) = jax.vmap(sim_fn)(p_all, b.t0, b.t_end, b.t_eval,
-                                        has_ss_e)
+            args.append(self.pmap.chain(theta))  # (E, P, G) = dp/dθ rows
+        has_segs = b.seg_bounds is not None
+        if has_segs:
+            args += [b.seg_bounds, b.seg_mask, b.seg_vals]
+        if b.has_preeq:
+            args += [b.preeq, b.preeq_mask, b.preeq_vals]
+
+        def sim_fn(*a):
+            i = 5
+            C_e = a[i] if theta_mode else None
+            i += int(theta_mode)
+            segs = tuple(a[i:i + 3]) if has_segs else None
+            i += 3 * int(has_segs)
+            preeq = tuple(a[i:i + 3]) if b.has_preeq else None
+            return self._sim_one(a[0], a[1], a[2], a[3], a[4],
+                                 with_sens=with_jac, C_e=C_e, segs=segs,
+                                 preeq=preeq)
+
+        (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
+         nsteps) = jax.vmap(sim_fn)(*args)
 
         # gather at measurement (time, observable) indices, per experiment;
         # steady-state rows gather from the equilibrium observables instead

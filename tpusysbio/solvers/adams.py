@@ -216,7 +216,7 @@ def adams_solve(
         t=t0, y=Y0, DF=DF0, h_abs=h0, order=i32(1),
         n_equal_steps=i32(0), n_fail=i32(0),
         last_accepted=jnp.asarray(True),
-        status=i32(STATUS_RUNNING), ys_acc=ys0, nsteps=i32(0),
+        status=common.status_init(t0, t_bound), ys_acc=ys0, nsteps=i32(0),
         naccepted=i32(0), nrejected=i32(0),
         nfev=i32(1 + (0 if config.first_step is not None else 2)),
         order_hist=jnp.zeros((6,), jnp.int32),

@@ -308,7 +308,8 @@ def bdf_solve(
         t=t0, h_abs=h0, order=i32(1), D=D0, J=J0, fact=fact0,
         lu_valid=jnp.asarray(False), current_jac=jnp.asarray(False),
         last_accepted=jnp.asarray(True),
-        n_equal_steps=i32(0), status=i32(STATUS_RUNNING), ys_acc=ys0,
+        n_equal_steps=i32(0), status=common.status_init(t0, t_bound),
+        ys_acc=ys0,
         nsteps=i32(0), naccepted=i32(0), nrejected=i32(0),
         nfev=i32(1 + (0 if config.first_step is not None else 2)),
         njev=i32(1), nlu=i32(0),

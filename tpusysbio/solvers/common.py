@@ -78,7 +78,12 @@ def select_initial_step(f, t0, y0, f0, t_bound, max_step, rtol, atol, order):
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), jnp.asarray(1e-6, dtype),
                    0.01 * d0 / d1)
     interval = jnp.abs(t_bound - t0)
-    h0 = jnp.minimum(h0, 0.5 * interval)
+    # Zero-length intervals (padded segments of a timed-perturbation
+    # experiment; the stepper no-ops on them) must not divide by h0=0 —
+    # the NaN would trip the sanitizer lane even though nothing reads it.
+    empty = interval <= 0
+    h0 = jnp.where(empty, jnp.ones((), dtype),
+                   jnp.minimum(h0, 0.5 * interval))
 
     y1 = y0 + h0 * f0
     f1 = f(t0 + h0, y1)
@@ -91,7 +96,20 @@ def select_initial_step(f, t0, y0, f0, t_bound, max_step, rtol, atol, order):
     )
     h = jnp.minimum(jnp.minimum(100 * h0, h1),
                     jnp.minimum(interval, jnp.asarray(max_step, dtype)))
-    return h
+    return jnp.where(empty, jnp.ones((), dtype), h)
+
+
+def status_init(t0, t_bound):
+    """Initial stepper status: DONE for an empty interval (t0 >= t_bound).
+
+    Zero-length integrations arise as PADDED SEGMENTS of timed-perturbation
+    experiments (data/experiment.py ``Experiment.inputs``): under vmap,
+    experiments with fewer events than the batch maximum carry trailing
+    ``[t_end, t_end]`` segments, which must no-op at zero cost — the
+    while_loop body never runs, ``ys`` keeps only the ``t_eval == t0``
+    prefill, and ``y_final`` is the initial column block unchanged."""
+    return jnp.where(t_bound > t0, STATUS_RUNNING,
+                     STATUS_DONE).astype(jnp.int32)
 
 
 def interp_accumulate(t_eval, t_old, t_new, interp_fn, ys_acc):

@@ -147,7 +147,7 @@ def dopri5_solve(
 
     state = _RKState(
         t=t0, y=Y0, f=F0, h_abs=h0, step_rejected=jnp.asarray(False),
-        status=i32(STATUS_RUNNING), ys_acc=ys0, nsteps=i32(0),
+        status=common.status_init(t0, t_bound), ys_acc=ys0, nsteps=i32(0),
         naccepted=i32(0), nrejected=i32(0),
         nfev=i32(1 + (0 if config.first_step is not None else 2)),
         stiff_count=i32(0))

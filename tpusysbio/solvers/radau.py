@@ -226,7 +226,7 @@ def radau_solve(
         current_jac=jnp.asarray(True), rejected=jnp.asarray(False),
         Q_prev=jnp.zeros((3, n, k), dtype), y_prev=Y0, t_prev=t0,
         h_prev=one, have_sol=jnp.asarray(False),
-        status=i32(STATUS_RUNNING), ys_acc=ys0,
+        status=common.status_init(t0, t_bound), ys_acc=ys0,
         nsteps=i32(0), naccepted=i32(0), nrejected=i32(0),
         nfev=i32(1 + (0 if config.first_step is not None else 2)),
         njev=i32(1), nlu=i32(0))

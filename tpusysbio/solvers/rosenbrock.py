@@ -131,7 +131,7 @@ def rosenbrock_solve(
 
     state = _RosState(
         t=t0, y=Y0, f=F0, h_abs=h0, step_rejected=jnp.asarray(False),
-        status=i32(STATUS_RUNNING), ys_acc=ys0, nsteps=i32(0),
+        status=common.status_init(t0, t_bound), ys_acc=ys0, nsteps=i32(0),
         naccepted=i32(0), nrejected=i32(0),
         nfev=i32(1 + (0 if config.first_step is not None else 2)),
         njev=i32(0), nlu=i32(0))
