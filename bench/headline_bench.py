@@ -31,7 +31,6 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 from tpusysbio.config import FitConfig, SolverConfig  # noqa: E402
 from tpusysbio.fit import latin_hypercube  # noqa: E402
@@ -72,8 +71,7 @@ ANCHOR_MIN_N = 1024
 
 def main():
     from bench.fits_bench import build_problem
-    from tpusysbio.fit.multistart import (make_multistart_runner,
-                                          run_chunked)
+    from tpusysbio.fit.multistart import TwoPhaseDriver
 
     proj_tight, theta_true = build_problem()
     # max_steps=192: the nominal screening integration needs ~92 steps;
@@ -88,67 +86,38 @@ def main():
 
     starts = latin_hypercube(jax.random.PRNGKey(0), N,
                              theta_true - 1.0, theta_true + 1.0)
-    # pad to a chunk multiple (clones of start 0; sliced off after): every
-    # screening execution then has the SAME shape — one compilation, and
-    # no odd-size remainder chunk paying a fresh multi-minute compile
     chunk = SCREEN_CHUNK if SCREEN_CHUNK and N > SCREEN_CHUNK else N
-    n_pad = (-N) % chunk
-    if n_pad:
-        starts = jnp.concatenate(
-            [starts, jnp.broadcast_to(starts[:1],
-                                      (n_pad, starts.shape[1]))])
     screen_cfg = FitConfig(max_iter=SCREEN_ITERS, eval_mode="lockstep",
                            ftol=1e-4, xtol=1e-4)
     polish_cfg = FitConfig(max_iter=POLISH_ITERS, eval_mode="lockstep")
 
-    # persistent runners: compile once, reuse (production shape)
-    # with_cov=False: screening triages non-converged members — their
-    # covariance is meaningless, XLA DCEs its math, and the per-chunk
-    # flush stops transferring it over the (slow) remote tunnel
-    screen_run = make_multistart_runner(
-        proj_screen.residuals, proj_screen.residuals_and_jacobian,
-        screen_cfg, iter_chunk=ITER_CHUNK, with_cov=False)
-    polish_run = make_multistart_runner(
-        proj_tight.residuals, proj_tight.residuals_and_jacobian,
-        polish_cfg, iter_chunk=POLISH_ITER_CHUNK)
+    # the library's production two-phase path (fit.multistart
+    # TwoPhaseDriver): persistent per-phase runners, same-shape padded
+    # screen chunks, atomic per-chunk checkpointing with validated resume
+    driver = TwoPhaseDriver(
+        (proj_screen.residuals, proj_screen.residuals_and_jacobian),
+        (proj_tight.residuals, proj_tight.residuals_and_jacobian),
+        screen_cfg, polish_cfg, TOP_K,
+        iter_chunk=ITER_CHUNK or None,
+        polish_iter_chunk=POLISH_ITER_CHUNK,
+        chunk_size=chunk, screen_channels="rank",
+        run_tag="headline_mapk22")
 
-    n_chunks = starts.shape[0] // chunk
-
-    def screen_all(resume: bool):
-        """Screen all chunks via the library's chunked checkpoint path
-        (fit.multistart.run_chunked: atomic per-chunk persist, validated
-        resume). ``resume=False`` ignores (and overwrites) any existing
-        checkpoint — the measured pass must do the full work unless this
-        process is a crash-restart (TPUSYSBIO_HEADLINE_RESUME=1, set by
-        the supervisor)."""
-        res, done = run_chunked(screen_run, starts, chunk,
-                                checkpoint_path=CKPT or None,
-                                resume=resume,
-                                trace_len=screen_cfg.max_iter,
-                                channels="rank")
-        if n_pad:  # drop pad clones before ranking
-            res = jax.tree.map(lambda a: a[:N], res)
-        return res, done
-
+    # ``resume=False`` ignores (and overwrites) any existing checkpoint —
+    # the measured pass must do the full work unless this process is a
+    # crash-restart (TPUSYSBIO_HEADLINE_RESUME=1, set by the supervisor).
     resume = os.environ.get("TPUSYSBIO_HEADLINE_RESUME") == "1"
 
-    # ---- warm-up: compile both jits on representative shapes ----------
-    t0 = time.perf_counter()
-    jax.block_until_ready(screen_run(starts[:chunk]).cost)
-    jax.block_until_ready(polish_run(
-        jnp.broadcast_to(theta_true, (TOP_K, theta_true.shape[0]))).cost)
-    warmup_s = time.perf_counter() - t0
+    warmup_s = driver.warmup(theta_true)
 
     # ---- measured pass ------------------------------------------------
     t0 = time.perf_counter()
-    screen, chunks_skipped = screen_all(resume)
-    jax.block_until_ready(screen.cost)
-    t1 = time.perf_counter()
-    top = screen.ranked().theta[:TOP_K]
-    polish = polish_run(jnp.asarray(top))
-    jax.block_until_ready(polish.cost)
-    t2 = time.perf_counter()
-    wall, screen_s, polish_s = t2 - t0, t1 - t0, t2 - t1
+    polish, screen, info = driver.run(starts, checkpoint_path=CKPT or None,
+                                      resume=resume)
+    wall = time.perf_counter() - t0
+    screen_s, polish_s = info["screen_seconds"], info["polish_seconds"]
+    chunks_skipped, n_pad = info["chunks_resumed"], info["n_pad"]
+    n_chunks = (N + n_pad) // chunk
 
     best = polish.ranked()
     best_cost = float(best.cost[0])

@@ -560,3 +560,49 @@ def test_trf_svd_subproblem_matches_normal():
     np.testing.assert_allclose(np.asarray(b.theta), np.asarray(a.theta),
                                atol=1e-6)
     assert abs(float(b.cost) - float(a.cost)) < 1e-9
+
+
+def test_two_phase_library_checkpoint_resume(tmp_path):
+    """The library-grade two-phase path (VERDICT r3 #7): screen chunking,
+    pad-to-chunk-multiple, atomic checkpointing, and validated resume are
+    all inside fit.multistart — a production user gets the crash-protected
+    path without bench orchestration."""
+    from tpusysbio.fit.multistart import multistart_two_phase
+
+    rng = np.random.default_rng(5)
+    starts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(10, 2)))
+    ck = str(tmp_path / "twophase.npz")
+    screen_cfg = FitConfig(max_iter=6, ftol=1e-3, xtol=1e-3)
+    polish_cfg = FitConfig(max_iter=100)
+    fns = (_rosenbrock_residuals, _rosenbrock_rj)
+
+    polish, screen, info = multistart_two_phase(
+        fns, fns, starts, screen_cfg, polish_cfg, top_k=2,
+        chunk_size=4, checkpoint_path=ck, run_tag="rosen",
+        return_info=True)
+    # N=10 pads to 12 = 3 chunks of 4; pads dropped before ranking
+    assert info["n_pad"] == 2 and info["chunks_resumed"] == 0
+    assert screen.cost.shape == (10,)
+    assert screen.cov is None  # rank channels by default
+    assert polish.cov is not None  # polish keeps the full cov_x contract
+    np.testing.assert_allclose(np.asarray(polish.best().theta),
+                               [1.0, 1.0], atol=1e-6)
+
+    # a second run resumes every screening chunk from the checkpoint and
+    # reproduces the results bit-for-bit
+    polish2, screen2, info2 = multistart_two_phase(
+        fns, fns, starts, screen_cfg, polish_cfg, top_k=2,
+        chunk_size=4, checkpoint_path=ck, run_tag="rosen",
+        return_info=True)
+    assert info2["chunks_resumed"] == 3
+    np.testing.assert_array_equal(np.asarray(screen.cost),
+                                  np.asarray(screen2.cost))
+    np.testing.assert_array_equal(np.asarray(polish.cost),
+                                  np.asarray(polish2.cost))
+
+    # a different run_tag is a DIFFERENT run: no silent chunk mixing
+    _, _, info3 = multistart_two_phase(
+        fns, fns, starts, screen_cfg, polish_cfg, top_k=2,
+        chunk_size=4, checkpoint_path=ck, run_tag="other",
+        return_info=True)
+    assert info3["chunks_resumed"] == 0

@@ -11,5 +11,9 @@ final cost gather (BASELINE.json:5).
 from tpusysbio.fit.sampling import latin_hypercube, uniform_starts  # noqa: F401
 from tpusysbio.fit.multistart import (  # noqa: F401
     MultistartResult,
+    TwoPhaseDriver,
+    make_multistart_runner,
     multistart_fit,
+    multistart_two_phase,
+    run_chunked,
 )

@@ -429,6 +429,13 @@ def multistart_two_phase(
     top_k: int,
     mesh: Optional[Mesh] = None,
     iter_chunk: Optional[int] = None,
+    polish_iter_chunk: Optional[int] = None,
+    chunk_size: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = True,
+    screen_channels: str = "rank",
+    run_tag: str = "",
+    return_info: bool = False,
 ):
     """Two-phase multi-start: wide cheap screening, then accurate polish.
 
@@ -440,15 +447,123 @@ def multistart_two_phase(
     full-accuracy fit per member, and only the basin winners pay for
     reference accuracy.
 
-    Returns ``(polish_result, screen_result)`` (both ``MultistartResult``).
+    Production knobs (the crash-protected path IS the library path):
+      chunk_size: screen the starts in sequential same-shape batches (the
+        set is padded with clones of start 0 to a chunk multiple, so one
+        compilation covers every chunk; pads are dropped before ranking).
+      checkpoint_path: every completed screening chunk is persisted
+        ATOMICALLY (``run_chunked``); a re-run with ``resume=True``
+        continues after the last completed chunk — validated against a
+        digest of (starts, chunking, config, run_tag), so a different run
+        restarts instead of mixing. The polish phase (top_k members, a
+        small fraction of the work) reruns after a crash-resume.
+      screen_channels: 'rank' (default) keeps only ranking channels for
+        the screen result — covariance is meaningless for non-converged
+        screening members and costs real per-chunk device->host transfer;
+        'all' carries every channel.
+      polish_iter_chunk: the polish phase's per-execution iteration cap
+        (defaults to ``iter_chunk``) — screening and polishing have
+        different per-iteration costs, so their caps differ in production
+        (bench/headline_bench.py measurements).
+
+    Returns ``(polish_result, screen_result)``; with ``return_info=True``
+    additionally a dict with phase wall times and resume counts.
     """
-    screen = multistart_fit(screen_fns[0], screen_fns[1], theta0s,
-                            screen_config, mesh=mesh, iter_chunk=iter_chunk)
-    ranked = screen.ranked()
-    top = ranked.theta[:top_k]
-    polish_mesh = (mesh if mesh is not None
-                   and top_k % mesh.devices.size == 0 else None)
-    polish = multistart_fit(polish_fns[0], polish_fns[1], top,
-                            polish_config, mesh=polish_mesh,
-                            iter_chunk=iter_chunk)
-    return polish, screen
+    driver = TwoPhaseDriver(
+        screen_fns, polish_fns, screen_config, polish_config, top_k,
+        mesh=mesh, iter_chunk=iter_chunk,
+        polish_iter_chunk=polish_iter_chunk, chunk_size=chunk_size,
+        screen_channels=screen_channels, run_tag=run_tag)
+    polish, screen, info = driver.run(theta0s,
+                                      checkpoint_path=checkpoint_path,
+                                      resume=resume)
+    return (polish, screen, info) if return_info else (polish, screen)
+
+
+class TwoPhaseDriver:
+    """Persistent two-phase runner: builds BOTH phase runners once (jit
+    caches live across calls) and exposes ``warmup`` so production
+    drivers/benches can compile on representative shapes before the
+    measured pass. ``multistart_two_phase`` is the one-shot facade."""
+
+    def __init__(self, screen_fns, polish_fns, screen_config: FitConfig,
+                 polish_config: FitConfig, top_k: int,
+                 mesh: Optional[Mesh] = None,
+                 iter_chunk: Optional[int] = None,
+                 polish_iter_chunk: Optional[int] = None,
+                 chunk_size: Optional[int] = None,
+                 screen_channels: str = "rank",
+                 run_tag: str = ""):
+        self.screen_config = screen_config
+        self.polish_config = polish_config
+        self.top_k = top_k
+        self.mesh = mesh
+        self.chunk_size = chunk_size
+        self.screen_channels = screen_channels
+        self.run_tag = run_tag
+        self.screen_run = make_multistart_runner(
+            screen_fns[0], screen_fns[1], screen_config, mesh=mesh,
+            iter_chunk=iter_chunk, with_cov=(screen_channels == "all"))
+        pic = iter_chunk if polish_iter_chunk is None else polish_iter_chunk
+        # a top_k not divisible by the mesh polishes unsharded (it is a
+        # small fraction of the work; sharding it unevenly would need pads)
+        polish_mesh = (mesh if mesh is not None
+                       and top_k % mesh.devices.size == 0 else None)
+        self.polish_run = make_multistart_runner(
+            polish_fns[0], polish_fns[1], polish_config, mesh=polish_mesh,
+            iter_chunk=(pic or None))
+
+    def warmup(self, theta_rep: jax.Array) -> float:
+        """Compile both phase jits on their production shapes: one
+        screen chunk and one top_k polish batch, all rows = ``theta_rep``
+        (a representative start). Returns the wall seconds spent."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        G = theta_rep.shape[0]
+        n = self.chunk_size or max(self.top_k, 1)
+        jax.block_until_ready(
+            self.screen_run(jnp.broadcast_to(theta_rep, (n, G))).cost)
+        jax.block_until_ready(
+            self.polish_run(
+                jnp.broadcast_to(theta_rep, (self.top_k, G))).cost)
+        return _time.perf_counter() - t0
+
+    def run(self, theta0s: jax.Array,
+            checkpoint_path: Optional[str] = None, resume: bool = True):
+        """Screen all starts (chunked + checkpointed when configured),
+        rank, polish the top_k. Returns (polish, screen, info)."""
+        import time as _time
+
+        N = theta0s.shape[0]
+        starts = theta0s
+        n_pad = 0
+        t0 = _time.perf_counter()
+        if self.chunk_size and self.chunk_size < N:
+            n_pad = (-N) % self.chunk_size
+            if n_pad:
+                starts = jnp.concatenate(
+                    [starts, jnp.broadcast_to(starts[:1],
+                                              (n_pad, starts.shape[1]))])
+            screen, chunks_resumed = run_chunked(
+                self.screen_run, starts, self.chunk_size,
+                checkpoint_path=checkpoint_path, resume=resume,
+                trace_len=self.screen_config.max_iter,
+                channels=self.screen_channels,
+                config=self.screen_config, run_tag=self.run_tag)
+            if n_pad:
+                screen = jax.tree.map(lambda a: a[:N], screen)
+        else:
+            screen = self.screen_run(starts)
+            chunks_resumed = 0
+        jax.block_until_ready(screen.cost)
+        t1 = _time.perf_counter()
+
+        top = screen.ranked().theta[:self.top_k]
+        polish = self.polish_run(jnp.asarray(top))
+        jax.block_until_ready(polish.cost)
+        t2 = _time.perf_counter()
+        return polish, screen, {
+            "screen_seconds": t1 - t0, "polish_seconds": t2 - t1,
+            "chunks_resumed": chunks_resumed, "n_pad": n_pad,
+        }
