@@ -70,6 +70,50 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def distributed_initialize(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           **kwargs) -> None:
+    """Multi-host entry point (SURVEY.md §2c/§5 comm rows): call ONCE per
+    process before any backend use; afterwards ``jax.devices()`` spans all
+    processes and ``make_mesh()`` builds the GLOBAL 'starts' mesh, so the
+    single-process multistart code runs unchanged — XLA routes the
+    ranking collectives over ICI within a slice and DCN across slices.
+
+    On TPU pods the three arguments are auto-detected from the runtime
+    environment (pass nothing); on CPU/GPU clusters pass them explicitly.
+    Thin by design: there is no custom transport layer to configure —
+    JAX's PJRT runtime is the communication backend (SURVEY.md §2c).
+    See tests/multihost_worker.py for the 2-process CPU recipe and
+    docs/GUIDE.md §7 for the pod recipe."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+
+
+def shard_starts(theta0s, mesh: Mesh):
+    """Place a host-replicated (N, G) start array onto the global mesh,
+    sharded along the ensemble axis. Every process must pass the SAME
+    array (samplers here are deterministic in the PRNG key, so each
+    process just calls the sampler with the same key); each process
+    device_puts only its addressable shards."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(
+        theta0s, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])))
+
+
+def gather_multihost(tree):
+    """All-gather a pytree of globally-sharded result arrays onto every
+    host (the multi-host analogue of the final device->host gather in
+    SURVEY.md §3.4) — e.g. a MultistartResult whose members live sharded
+    across processes, so ``.ranked()`` / ``.best()`` work host-side."""
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda a: multihost_utils.process_allgather(a, tiled=True), tree)
+
+
 def results_to_records(result) -> list:
     """MultistartResult -> list of per-start dicts (JSON-ready)."""
     n = result.cost.shape[0]
