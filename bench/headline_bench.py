@@ -121,6 +121,15 @@ def main():
 
     best = polish.ranked()
     best_cost = float(best.cost[0])
+    # convergence-profile diagnostic: at which LM iteration did the WINNER
+    # reach (within 1e-9 relative) its final cost? If this is well below
+    # POLISH_ITERS, the polish budget can shrink (the round-3/4 polish leg
+    # is iteration-capped, not convergence-capped — polish_converged ~ 0)
+    winner_conv_iter = None
+    if polish.cost_trace is not None:
+        tr = np.asarray(best.cost_trace[0])
+        close = np.flatnonzero(tr <= best_cost * (1 + 1e-9))
+        winner_conv_iter = int(close[0]) + 1 if close.size else None
     ok_screen = int((np.asarray(screen.status) > 0).sum())
     ok_polish = int((np.asarray(polish.status) > 0).sum())
     anchored = None
@@ -144,6 +153,7 @@ def main():
             "polish_seconds": round(polish_s, 1),
             "screen_converged": ok_screen,
             "polish_converged": ok_polish,
+            "winner_converged_at_iter": winner_conv_iter,
             "best_cost": best_cost,
             "minpack_anchor_cost": MINPACK_ANCHOR_COST,
             "anchor_ok": anchored,

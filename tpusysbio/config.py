@@ -81,6 +81,12 @@ class SolverConfig:
     # forward sensitivities — the framework's own Jacobian source — are
     # unaffected either way.
     dense_f32: bool = False
+    # In-jit assertion lane (SURVEY.md §5 sanitizers): emit
+    # ``checkify.check`` assertions (finite RHS at init, positive step)
+    # inside the steppers. STATIC flag — zero cost when off. Wrap the
+    # entry point with ``tpusysbio.utils.checked`` to raise on failure
+    # (production runs instead mask failed members via status codes).
+    debug_checks: bool = False
 
     def __post_init__(self):
         if self.linear_solver not in ("lu", "inv", "inv32", "pallas",

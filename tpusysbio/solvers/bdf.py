@@ -277,6 +277,9 @@ def bdf_solve(
         Y0b = (y0[:, None].astype(cdt),)
     F0b = faug_b(t0, Y0b)
     f0 = F0b[0][:, 0].astype(dtype)
+    common.debug_check(
+        config.debug_checks, jnp.isfinite(f0).all(),
+        "non-finite RHS at the initial condition (t0={t0})", t0=t0)
     if config.first_step is None:
         h0 = common.select_initial_step(
             f, t0, y0, f0, t_bound, config.max_step, rtol, atol, order=1)
@@ -327,6 +330,10 @@ def bdf_solve(
         lu_valid = st.lu_valid
         n_equal_steps = st.n_equal_steps
 
+        common.debug_check(
+            config.debug_checks,
+            (h_abs > 0) | (st.status != STATUS_RUNNING),
+            "non-positive step size h={h} at t={t}", h=h_abs, t=t)
         # ~10 ulp of t (jnp.nextafter breaks the TPU f64 rewriter; the
         # eps-based spacing is equivalent for the underflow guard)
         min_step = 10 * jnp.finfo(dtype).eps * jnp.abs(t)

@@ -112,6 +112,25 @@ def status_init(t0, t_bound):
                      STATUS_DONE).astype(jnp.int32)
 
 
+def debug_check(enabled: bool, pred, msg: str, **fmt_kwargs):
+    """In-jit assertion lane (SURVEY.md §5 sanitizers): when ``enabled``
+    (SolverConfig.debug_checks, a STATIC flag — zero cost when off), emit
+    a ``checkify.check``. The production failure contract is unchanged
+    (non-finite members are status-flagged and masked, never abort the
+    batch); this lane is for debugging runs where those same conditions
+    should THROW with a message and the offending values — wrap the
+    entry point with ``tpusysbio.utils.checked`` to functionalize and
+    raise. Usage::
+
+        cfg = SolverConfig(debug_checks=True)
+        sim = utils.checked(jax.jit(lambda p: model.simulate(p, ...)))
+        sim(p)   # raises JaxRuntimeError("non-finite RHS at t=...") """
+    if enabled:
+        from jax.experimental import checkify
+
+        checkify.check(pred, msg, **fmt_kwargs)
+
+
 def interp_accumulate(t_eval, t_old, t_new, interp_fn, ys_acc):
     """Fold dense output into the ``t_eval`` accumulator after an accepted step.
 

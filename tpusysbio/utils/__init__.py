@@ -70,6 +70,30 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def checked(fn):
+    """Checkify lane (SURVEY.md §5 sanitizers): functionalize the in-jit
+    assertions emitted by ``SolverConfig(debug_checks=True)`` (finite RHS
+    at init, positive step — solvers/common.debug_check) plus JAX's
+    automatic user checks, and RAISE on the first failure. Production
+    keeps the masked-status failure contract; this wrapper is the debug
+    mode where the same conditions throw with values::
+
+        sim = utils.checked(lambda p: model.simulate(
+            p, span, ts, config=SolverConfig(debug_checks=True)))
+        sim(p_bad)   # -> JaxRuntimeError with the check message
+    """
+    from jax.experimental import checkify
+
+    cfn = checkify.checkify(fn, errors=checkify.user_checks)
+
+    def wrapper(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapper
+
+
 def distributed_initialize(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None,
