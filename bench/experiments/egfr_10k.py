@@ -26,7 +26,14 @@ import jax.numpy as jnp  # noqa: E402
 
 N = int(os.environ.get("TPUSYSBIO_EGFR10K_N", "10000"))
 TOP_K = int(os.environ.get("TPUSYSBIO_EGFR10K_TOPK", "64"))
-CHUNK = int(os.environ.get("TPUSYSBIO_EGFR10K_CHUNK", "512"))
+# Round-4 defaults ported from the MAPK headline's measured knob wins
+# (docs/PERFORMANCE.md "Screen chunking re-tuned"): 1024-chunks with the
+# screen fit as ONE un-chunked execution per chunk (ITER_CHUNK=0) beat
+# 512-chunks with 3-iter calls — per-call dispatch overhead on the
+# remote runtime, not device rate, was the difference. run_chunked now
+# also pipelines chunk dispatch against result transfer/checkpointing.
+CHUNK = int(os.environ.get("TPUSYSBIO_EGFR10K_CHUNK", "1024"))
+ITER_CHUNK = int(os.environ.get("TPUSYSBIO_EGFR10K_ITER_CHUNK", "0"))
 SCREEN_ITERS = int(os.environ.get("TPUSYSBIO_EGFR10K_SCREEN_ITERS", "6"))
 POLISH_ITERS = int(os.environ.get("TPUSYSBIO_EGFR10K_POLISH_ITERS", "10"))
 
@@ -60,7 +67,7 @@ def main():
     polish_cfg = FitConfig(max_iter=POLISH_ITERS, eval_mode="lockstep")
     screen_run = make_multistart_runner(
         proj_screen.residuals, proj_screen.residuals_and_jacobian,
-        screen_cfg, iter_chunk=3, with_cov=False)
+        screen_cfg, iter_chunk=ITER_CHUNK or None, with_cov=False)
     polish_run = make_multistart_runner(
         proj_tight.residuals, proj_tight.residuals_and_jacobian,
         polish_cfg, iter_chunk=2)

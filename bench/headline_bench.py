@@ -55,6 +55,12 @@ SCREEN_ITERS = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_ITERS", "8"))
 SCREEN_CHUNK = int(os.environ.get("TPUSYSBIO_HEADLINE_SCREEN_CHUNK",
                                   "1024"))
 POLISH_ITERS = int(os.environ.get("TPUSYSBIO_HEADLINE_POLISH_ITERS", "20"))
+# Polish the ranked top_k in cost-sorted sub-batches of this size
+# (0 = one batch). Consecutive ranked slices share similar screened
+# costs, so each sub-batch's lockstep union is tighter than the full
+# batch's (docs/PERFORMANCE.md roadmap #1).
+POLISH_SUBBATCH = int(os.environ.get(
+    "TPUSYSBIO_HEADLINE_POLISH_SUBBATCH", "0"))
 # Screening-chunk checkpoint file ('' = off). See module docstring.
 CKPT = os.environ.get("TPUSYSBIO_HEADLINE_CKPT", "")
 
@@ -101,7 +107,8 @@ def main():
         iter_chunk=ITER_CHUNK or None,
         polish_iter_chunk=POLISH_ITER_CHUNK,
         chunk_size=chunk, screen_channels="rank",
-        run_tag="headline_mapk22")
+        run_tag="headline_mapk22",
+        polish_subbatch=POLISH_SUBBATCH or None)
 
     # ``resume=False`` ignores (and overwrites) any existing checkpoint —
     # the measured pass must do the full work unless this process is a
@@ -130,6 +137,12 @@ def main():
         tr = np.asarray(best.cost_trace[0])
         close = np.flatnonzero(tr <= best_cost * (1 + 1e-9))
         winner_conv_iter = int(close[0]) + 1 if close.size else None
+    # the polish batch is the RANKED screen top_k in order, so the
+    # winner's row index IS its screen rank — the datum that says how
+    # small TOP_K could be without losing the winning basin
+    pcost = np.asarray(polish.cost)
+    pbad = (np.asarray(polish.status) < 0) | ~np.isfinite(pcost)
+    winner_screen_rank = int(np.argmin(np.where(pbad, np.inf, pcost)))
     ok_screen = int((np.asarray(screen.status) > 0).sum())
     ok_polish = int((np.asarray(polish.status) > 0).sum())
     anchored = None
@@ -154,6 +167,8 @@ def main():
             "screen_converged": ok_screen,
             "polish_converged": ok_polish,
             "winner_converged_at_iter": winner_conv_iter,
+            "winner_screen_rank": winner_screen_rank,
+            "polish_subbatch": POLISH_SUBBATCH or None,
             "best_cost": best_cost,
             "minpack_anchor_cost": MINPACK_ANCHOR_COST,
             "anchor_ok": anchored,

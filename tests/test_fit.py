@@ -64,7 +64,13 @@ def test_lm_parity_with_scipy():
     assert abs(float(mine.cost) - 0.5 * np.sum(ref.fun**2)) < 1e-12
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _mm_problem():
+    # cached for the session: six tests share this builder, and each
+    # build pays a tight-tolerance (rtol=1e-10) data-generating solve
     model = library.michaelis_menten()
     p_true = jnp.asarray(library.MM_TRUE_PARAMS)
     t = np.linspace(1.0, 10.0, 8)
@@ -606,3 +612,70 @@ def test_two_phase_library_checkpoint_resume(tmp_path):
         chunk_size=4, checkpoint_path=ck, run_tag="other",
         return_info=True)
     assert info3["chunks_resumed"] == 0
+
+
+def test_run_chunked_overlap_matches_serial(tmp_path):
+    """Pipelined chunk execution (dispatch chunk c+1 before materializing
+    chunk c) is a pure latency optimization: results AND checkpoint
+    contents must be bit-identical with the strictly serial path."""
+    from tpusysbio.fit.multistart import (make_multistart_runner,
+                                          run_chunked)
+
+    rng = np.random.default_rng(7)
+    theta0s = jnp.asarray(rng.uniform(-1.5, 1.5, size=(8, 2)))
+    cfg = FitConfig(max_iter=25)
+    runner = make_multistart_runner(_rosenbrock_residuals, _rosenbrock_rj,
+                                    cfg)
+    ck_a = str(tmp_path / "a.npz")
+    ck_b = str(tmp_path / "b.npz")
+    res_a, _ = run_chunked(runner, theta0s, 2, checkpoint_path=ck_a,
+                           trace_len=cfg.max_iter, config=cfg,
+                           overlap=True)
+    res_b, _ = run_chunked(runner, theta0s, 2, checkpoint_path=ck_b,
+                           trace_len=cfg.max_iter, config=cfg,
+                           overlap=False)
+    for field in ("theta", "cost", "grad_norm", "status", "n_iter",
+                  "cov", "param_sigma", "cost_trace"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res_a, field)),
+            np.asarray(getattr(res_b, field)), err_msg=field)
+    a, b = np.load(ck_a), np.load(ck_b)
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # a resumed overlapped run skips every chunk and reproduces results
+    res_c, resumed = run_chunked(runner, theta0s, 2, checkpoint_path=ck_a,
+                                 trace_len=cfg.max_iter, config=cfg)
+    assert resumed == 4
+    np.testing.assert_array_equal(np.asarray(res_a.cost),
+                                  np.asarray(res_c.cost))
+
+
+def test_two_phase_polish_subbatch_matches_full():
+    """Cost-sorted polish sub-batches (lockstep-union mitigation,
+    docs/PERFORMANCE.md roadmap #1) must reproduce the single-batch
+    polish member-for-member: the polish input is the ranked screen
+    top_k either way, only the lockstep grouping differs."""
+    from tpusysbio.fit.multistart import multistart_two_phase
+
+    rng = np.random.default_rng(11)
+    starts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(12, 2)))
+    screen_cfg = FitConfig(max_iter=6, ftol=1e-3, xtol=1e-3)
+    polish_cfg = FitConfig(max_iter=60)
+    fns = (_rosenbrock_residuals, _rosenbrock_rj)
+
+    full, screen_f = multistart_two_phase(
+        fns, fns, starts, screen_cfg, polish_cfg, top_k=4)
+    sub, screen_s = multistart_two_phase(
+        fns, fns, starts, screen_cfg, polish_cfg, top_k=4,
+        polish_subbatch=2)
+    np.testing.assert_array_equal(np.asarray(screen_f.cost),
+                                  np.asarray(screen_s.cost))
+    for field in ("theta", "cost", "status", "n_iter", "theta0"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, field)),
+            np.asarray(getattr(sub, field)), err_msg=field)
+    # sub-batch size must divide top_k — fail loudly, not mis-slice
+    with pytest.raises(ValueError):
+        multistart_two_phase(fns, fns, starts, screen_cfg, polish_cfg,
+                             top_k=4, polish_subbatch=3)

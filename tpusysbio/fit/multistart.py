@@ -305,6 +305,7 @@ def run_chunked(
     channels: str = "all",
     config: Optional[FitConfig] = None,
     run_tag: str = "",
+    overlap: bool = True,
 ):
     """Run a persistent ``make_multistart_runner`` callable over
     sequential chunks of ``theta0s`` with per-chunk checkpointing.
@@ -349,9 +350,11 @@ def run_chunked(
             parts = [acc]
         done = min(done, n_chunks)
 
-    for c in range(done, n_chunks):
-        fr = runner(theta0s[c * chunk_size:(c + 1) * chunk_size])
-        jax.block_until_ready(fr.cost)
+    def materialize(fr, c):
+        # np.asarray blocks until the chunk's execution completes, then
+        # pulls the result over the (slow, ~1 MB/s-class) tunnel — by the
+        # time we get here the NEXT chunk is already enqueued on the
+        # device, so transfer + atomic checkpoint I/O overlap its compute
         if channels == "all" and fr.cov is None:
             raise ValueError(
                 "channels='all' needs a runner built with with_cov=True")
@@ -361,7 +364,25 @@ def run_chunked(
                    for k in keys}
             _atomic_savez(checkpoint_path, chunks_done=c + 1,
                           run_digest=digest, **acc)
-            parts = [acc]
+            parts[:] = [acc]
+
+    # Software pipelining: jax dispatch is async, so chunk c+1 is launched
+    # BEFORE chunk c's results are fetched/checkpointed. The device never
+    # idles across chunk boundaries; crash semantics are unchanged (chunk
+    # c's checkpoint is still written only after c fully materializes —
+    # an in-flight c+1 is simply recomputed on resume). ``overlap=False``
+    # restores strictly serial execution for debugging.
+    pending = None
+    for c in range(done, n_chunks):
+        fr = runner(theta0s[c * chunk_size:(c + 1) * chunk_size])
+        if not overlap:
+            materialize(fr, c)
+            continue
+        if pending is not None:
+            materialize(*pending)
+        pending = (fr, c)
+    if pending is not None:
+        materialize(*pending)
 
     acc = {k: np.concatenate([p[k] for p in parts]) for k in keys}
 
@@ -435,6 +456,7 @@ def multistart_two_phase(
     resume: bool = True,
     screen_channels: str = "rank",
     run_tag: str = "",
+    polish_subbatch: Optional[int] = None,
     return_info: bool = False,
 ):
     """Two-phase multi-start: wide cheap screening, then accurate polish.
@@ -473,7 +495,8 @@ def multistart_two_phase(
         screen_fns, polish_fns, screen_config, polish_config, top_k,
         mesh=mesh, iter_chunk=iter_chunk,
         polish_iter_chunk=polish_iter_chunk, chunk_size=chunk_size,
-        screen_channels=screen_channels, run_tag=run_tag)
+        screen_channels=screen_channels, run_tag=run_tag,
+        polish_subbatch=polish_subbatch)
     polish, screen, info = driver.run(theta0s,
                                       checkpoint_path=checkpoint_path,
                                       resume=resume)
@@ -493,7 +516,8 @@ class TwoPhaseDriver:
                  polish_iter_chunk: Optional[int] = None,
                  chunk_size: Optional[int] = None,
                  screen_channels: str = "rank",
-                 run_tag: str = ""):
+                 run_tag: str = "",
+                 polish_subbatch: Optional[int] = None):
         self.screen_config = screen_config
         self.polish_config = polish_config
         self.top_k = top_k
@@ -501,14 +525,26 @@ class TwoPhaseDriver:
         self.chunk_size = chunk_size
         self.screen_channels = screen_channels
         self.run_tag = run_tag
+        # Cost-sorted polish sub-batches (docs/PERFORMANCE.md roadmap #1):
+        # the polish input is the RANKED screen top_k, so consecutive
+        # slices group members of similar screened cost — each sub-batch's
+        # lockstep union is tighter than the full batch's (one slow member
+        # taxes sb-1 peers instead of top_k-1). Sub-batches are dispatched
+        # back-to-back (async), so there is no per-call idle between them.
+        if polish_subbatch and top_k % polish_subbatch:
+            raise ValueError("polish_subbatch must divide top_k")
+        self.polish_subbatch = (polish_subbatch
+                                if polish_subbatch
+                                and polish_subbatch < top_k else None)
         self.screen_run = make_multistart_runner(
             screen_fns[0], screen_fns[1], screen_config, mesh=mesh,
             iter_chunk=iter_chunk, with_cov=(screen_channels == "all"))
         pic = iter_chunk if polish_iter_chunk is None else polish_iter_chunk
-        # a top_k not divisible by the mesh polishes unsharded (it is a
-        # small fraction of the work; sharding it unevenly would need pads)
+        # a polish batch not divisible by the mesh polishes unsharded (it
+        # is a small fraction of the work; uneven sharding would need pads)
+        pb = self.polish_subbatch or top_k
         polish_mesh = (mesh if mesh is not None
-                       and top_k % mesh.devices.size == 0 else None)
+                       and pb % mesh.devices.size == 0 else None)
         self.polish_run = make_multistart_runner(
             polish_fns[0], polish_fns[1], polish_config, mesh=polish_mesh,
             iter_chunk=(pic or None))
@@ -522,11 +558,11 @@ class TwoPhaseDriver:
         t0 = _time.perf_counter()
         G = theta_rep.shape[0]
         n = self.chunk_size or max(self.top_k, 1)
+        pb = self.polish_subbatch or self.top_k
         jax.block_until_ready(
             self.screen_run(jnp.broadcast_to(theta_rep, (n, G))).cost)
         jax.block_until_ready(
-            self.polish_run(
-                jnp.broadcast_to(theta_rep, (self.top_k, G))).cost)
+            self.polish_run(jnp.broadcast_to(theta_rep, (pb, G))).cost)
         return _time.perf_counter() - t0
 
     def run(self, theta0s: jax.Array,
@@ -559,8 +595,17 @@ class TwoPhaseDriver:
         jax.block_until_ready(screen.cost)
         t1 = _time.perf_counter()
 
-        top = screen.ranked().theta[:self.top_k]
-        polish = self.polish_run(jnp.asarray(top))
+        top = jnp.asarray(screen.ranked().theta[:self.top_k])
+        if self.polish_subbatch:
+            sb = self.polish_subbatch
+            # async dispatch enqueues every sub-batch before the first
+            # finishes — sequential on-device, zero host idle between
+            frs = [self.polish_run(top[i:i + sb])
+                   for i in range(0, self.top_k, sb)]
+            polish = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *frs)
+        else:
+            polish = self.polish_run(top)
         jax.block_until_ready(polish.cost)
         t2 = _time.perf_counter()
         return polish, screen, {
