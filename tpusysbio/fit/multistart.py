@@ -136,6 +136,30 @@ def _chunked_fit_fn(residual_fn: Callable, residual_and_jac_fn: Callable,
         # count so shard_map keeps sharding them; gathers on the sharded
         # state (host-driven repack) reshard automatically
         n_dev = 1 if mesh is None else int(mesh.devices.size)
+        if not compact:
+            # Pipelined chunk dispatch: a synchronous done-check after
+            # every chunk stalls the device for a host round-trip (real
+            # time on the remote-tunnel runtime). Instead, lag the
+            # early-exit check one chunk behind — chunk c+1 is dispatched
+            # before chunk c's done flags are read, so the flags have
+            # materialized while c+1 computes and the device never idles.
+            # Worst case one extra no-op dispatch (lm_run's while_loop
+            # gates on ~done, so stepping an all-done state is identity).
+            prev_done = None
+            cap = iter_chunk
+            while True:
+                state = step(state, jnp.asarray(
+                    min(cap, config.max_iter), jnp.int32))
+                if cap >= config.max_iter:
+                    break
+                if prev_done is not None and bool(
+                        np.asarray(prev_done).all()):
+                    break
+                prev_done = state.done
+                cap += iter_chunk
+            flush(np.ones(orig_idx.shape[0], bool), state, orig_idx)
+            out = [flushed[i] for i in range(N)]
+            return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *out)
         cap = iter_chunk
         while True:
             state = step(state, jnp.asarray(min(cap, config.max_iter),
