@@ -330,6 +330,7 @@ def run_chunked(
     config: Optional[FitConfig] = None,
     run_tag: str = "",
     overlap: bool = True,
+    as_numpy: bool = False,
 ):
     """Run a persistent ``make_multistart_runner`` callable over
     sequential chunks of ``theta0s`` with per-chunk checkpointing.
@@ -410,14 +411,21 @@ def run_chunked(
 
     acc = {k: np.concatenate([p[k] for p in parts]) for k in keys}
 
+    # as_numpy=True keeps the accumulated results HOST-resident: chunk
+    # results arrive on the host anyway (checkpointing), and re-uploading
+    # every channel to the device (~1.2 MB for a 10k screen over the
+    # remote tunnel) just so a caller can rank and slice a handful of
+    # rows back out is pure waste — the two-phase driver ranks in numpy.
+    lift = (lambda a: a) if as_numpy else jnp.asarray
+
     def opt(k):
-        return jnp.asarray(acc[k]) if k in acc else None
+        return lift(acc[k]) if k in acc else None
 
     res = MultistartResult(
-        theta=jnp.asarray(acc["theta"]), cost=jnp.asarray(acc["cost"]),
-        grad_norm=jnp.asarray(acc["grad_norm"]),
-        status=jnp.asarray(acc["status"]),
-        n_iter=jnp.asarray(acc["n_iter"]), theta0=theta0s,
+        theta=lift(acc["theta"]), cost=lift(acc["cost"]),
+        grad_norm=lift(acc["grad_norm"]),
+        status=lift(acc["status"]),
+        n_iter=lift(acc["n_iter"]), theta0=theta0s,
         cov=opt("cov"), param_sigma=opt("param_sigma"),
         cost_trace=opt("cost_trace"))
     return res, done
@@ -610,7 +618,8 @@ class TwoPhaseDriver:
                 checkpoint_path=checkpoint_path, resume=resume,
                 trace_len=self.screen_config.max_iter,
                 channels=self.screen_channels,
-                config=self.screen_config, run_tag=self.run_tag)
+                config=self.screen_config, run_tag=self.run_tag,
+                as_numpy=True)
             if n_pad:
                 screen = jax.tree.map(lambda a: a[:N], screen)
         else:
@@ -619,7 +628,17 @@ class TwoPhaseDriver:
         jax.block_until_ready(screen.cost)
         t1 = _time.perf_counter()
 
-        top = jnp.asarray(screen.ranked().theta[:self.top_k])
+        if isinstance(screen.cost, np.ndarray):
+            # chunked screen results are host-resident; rank in numpy and
+            # upload ONLY the top_k rows (24 KB instead of ~1.2 MB for a
+            # 10k screen — measured ~24 s of the polish window on the
+            # remote-tunnel runtime before this)
+            bad = (screen.status < 0) | ~np.isfinite(screen.cost)
+            order = np.argsort(np.where(bad, np.inf, screen.cost),
+                               kind="stable")
+            top = jnp.asarray(screen.theta[order[:self.top_k]])
+        else:
+            top = jnp.asarray(screen.ranked().theta[:self.top_k])
         if self.polish_subbatch:
             sb = self.polish_subbatch
             # async dispatch enqueues every sub-batch before the first
