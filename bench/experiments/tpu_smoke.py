@@ -108,6 +108,14 @@ def check_eft_compiled(results):
     rng = np.random.default_rng(2)
     a64 = rng.normal(size=4096) * 1e3
     b64 = rng.normal(size=4096)
+    # poison the sum with an exactly-cancelling +/-2^30 pair: the running
+    # f32 accumulator jumps to ~1e9 and back, discarding the low bits of
+    # every partial it held — naive f32 summation loses ~5 digits, while
+    # the (hi, lo) discipline captures the lost bits exactly in ``lo``.
+    # (2^30 and its products are exactly representable; the pair cancels
+    # exactly in infinite precision, so the f64 truth is unaffected.)
+    a64[1000], b64[1000] = 2.0 ** 30, 1.0
+    a64[3000], b64[3000] = -(2.0 ** 30), 1.0
     a32, b32 = a64.astype(np.float32), b64.astype(np.float32)
     truth = float(np.dot(a32.astype(np.float64), b32.astype(np.float64)))
 
@@ -125,17 +133,25 @@ def check_eft_compiled(results):
 
         (s, c), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
                                  (p, e))
-        return s + c
+        return s, c
 
     naive = float(jnp.dot(jnp.asarray(a32), jnp.asarray(b32),
                           precision=jax.lax.Precision.HIGHEST))
-    comp = float(comp_dot(jnp.asarray(a32), jnp.asarray(b32)))
+    s, c = comp_dot(jnp.asarray(a32), jnp.asarray(b32))
+    # combine (hi, lo) in f64 ON THE HOST: the invariant under test is
+    # that hi+lo carries ~double-float precision through the Mosaic/XLA
+    # compile — collapsing to one f32 on device would round it back to
+    # f32 eps and hide exactly the failure mode this check exists for
+    comp = float(np.float64(float(s)) + np.float64(float(c)))
     err_naive = abs(naive - truth) / abs(truth)
     err_comp = abs(comp - truth) / abs(truth)
-    # compensated must be at least 100x closer than naive f32 AND near
-    # f32-exact in absolute relative terms
-    passed = bool(err_comp < 1e-6 and err_comp * 100 < max(err_naive,
-                                                           1e-30))
+    # the poisoned data must genuinely hurt naive f32 (else the check
+    # can't discriminate), and the compensated path must sit within the
+    # single-level compensation bound n*eps^2*sum|p_i| ~ 5e-7 relative
+    # for this conditioning (measured ~2.6e-8) — >=1000x closer than
+    # naive. A contracted/fast-mathed EFT lands at naive's ~2.6e-3.
+    passed = bool(err_naive > 1e-5 and err_comp < 1e-6
+                  and err_comp * 1000 < err_naive)
     results["eft_compiled"] = {
         "rel_err_naive_f32": err_naive, "rel_err_compensated": err_comp,
         "ok": passed}

@@ -12,3 +12,4 @@ vmap shape) and a Pallas VMEM-resident batched kernel.
 
 from tpusysbio.linalg.lu import lu_factor, lu_solve, lu_inverse, solve  # noqa: F401
 from tpusysbio.linalg.newton import make_linear_solver  # noqa: F401
+from tpusysbio.linalg.pallas_lu import inverse  # noqa: F401
