@@ -26,6 +26,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: stepper compiles dominate suite wall
+# time on this 1-core host (~20 min cold). The cache keys on HLO, so
+# identical programs re-built by different test modules — and by repeat
+# suite runs — deserialize instead of recompiling. Safe cross-run: keys
+# include jaxlib version and compile options.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -21,17 +21,28 @@ trajectories for tests come from SciPy on the *same* RHS (tests/golden).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
 from tpusysbio.model.core import OdeModel
 from tpusysbio.model.massaction import NetworkBuilder
 
+# Constructors are memoized: OdeModel is a frozen dataclass whose identity
+# (including the rhs/y0/observables closures) keys every downstream
+# jax.jit cache, so handing the SAME instance to repeat callers turns
+# cross-module re-compiles into cache hits (a large fraction of test-suite
+# and notebook wall time on this 1-core host). The models are immutable;
+# variants go through dataclasses.replace as before.
+_memo = functools.lru_cache(maxsize=None)
+
 
 # ----------------------------------------------------------------------
 # 1. Michaelis-Menten (3 states: S, C, P; params k1, km1, k2, E0)
 # ----------------------------------------------------------------------
 
+@_memo
 def michaelis_menten() -> OdeModel:
     def rhs(t, y, p):
         del t
@@ -65,6 +76,7 @@ MM_TRUE_PARAMS = np.array([10.0, 1.0, 1.5, 0.5])
 # 2. Lotka-Volterra (2 states; params a, b, c, d, x0, y0)
 # ----------------------------------------------------------------------
 
+@_memo
 def lotka_volterra() -> OdeModel:
     def rhs(t, y, p):
         del t
@@ -92,6 +104,7 @@ LV_TRUE_PARAMS = np.array([1.5, 1.0, 3.0, 1.0, 1.0, 1.0])
 # 3. Repressilator (6 states; params alpha, alpha0, beta, n)
 # ----------------------------------------------------------------------
 
+@_memo
 def repressilator() -> OdeModel:
     def rhs(t, y, p):
         del t
@@ -123,6 +136,7 @@ REPRESSILATOR_TRUE_PARAMS = np.array([50.0, 1.0, 5.0, 2.0])
 # 4. Huang-Ferrell MAPK cascade: 22 species, 30 elementary reactions
 # ----------------------------------------------------------------------
 
+@_memo
 def _mapk_network():
     b = NetworkBuilder()
     # ensure canonical species ordering
@@ -142,6 +156,7 @@ def _mapk_network():
     return b.build()
 
 
+@_memo
 def mapk_huang_ferrell() -> OdeModel:
     """Huang & Ferrell (1996)-style ultrasensitive MAPK cascade.
 
@@ -200,6 +215,7 @@ def mapk_true_params() -> np.ndarray:
 # 5. JAK-STAT (Swameye/Timmer-style, 4 states, driven input, relative obs)
 # ----------------------------------------------------------------------
 
+@_memo
 def jak_stat() -> OdeModel:
     """STAT5 cycling model with a pulse input u(t) (EpoR activity).
 
@@ -253,6 +269,7 @@ JAKSTAT_TRUE_PARAMS = np.array([2.5, 4.0, 0.3, 0.6, 1.0, 6.0])
 # 6. EGFR-scale generated network (~100 species)
 # ----------------------------------------------------------------------
 
+@_memo
 def _egfr_network(n_layers: int = 12):
     """Receptor-activated dual-phosphorylation cascade.
 
@@ -277,6 +294,7 @@ def _egfr_network(n_layers: int = 12):
     return b.build(), n_layers
 
 
+@_memo
 def egfr_like(n_layers: int = 12) -> OdeModel:
     net, n_layers = _egfr_network(n_layers)
     rhs = net.rhs()
