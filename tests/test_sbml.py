@@ -1,0 +1,261 @@
+"""SBML importer: parsed model == hand-written model; core semantics.
+
+The reference domain ships models as SBML (BioModels/COPASI); the importer
+(model/sbml_import.py) must reproduce the hand-written library models
+exactly and honor SBML core semantics (local parameters, function
+definitions, rules, compartment volumes, boundary species).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusysbio.config import SolverConfig
+from tpusysbio.model import library
+from tpusysbio.model.sbml_import import (SbmlError, SbmlUnsupportedError,
+                                         from_sbml)
+
+MM_SBML = """<?xml version="1.0" encoding="UTF-8"?>
+<sbml xmlns="http://www.sbml.org/sbml/level2/version4" level="2" version="4">
+ <model id="mm3">
+  <listOfCompartments>
+   <compartment id="cell" size="1"/>
+  </listOfCompartments>
+  <listOfSpecies>
+   <species id="S" compartment="cell" initialConcentration="1"/>
+   <species id="C" compartment="cell" initialConcentration="0"/>
+   <species id="P" compartment="cell" initialConcentration="0"/>
+  </listOfSpecies>
+  <listOfParameters>
+   <parameter id="k1" value="30"/>
+   <parameter id="km1" value="10"/>
+   <parameter id="k2" value="5"/>
+   <parameter id="E0" value="0.2"/>
+  </listOfParameters>
+  <listOfReactions>
+   <reaction id="bind" reversible="false">
+    <listOfReactants><speciesReference species="S"/></listOfReactants>
+    <listOfProducts><speciesReference species="C"/></listOfProducts>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><times/><ci>k1</ci>
+       <apply><minus/><ci>E0</ci><ci>C</ci></apply><ci>S</ci></apply>
+     </math>
+    </kineticLaw>
+   </reaction>
+   <reaction id="unbind" reversible="false">
+    <listOfReactants><speciesReference species="C"/></listOfReactants>
+    <listOfProducts><speciesReference species="S"/></listOfProducts>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><times/><ci>km1</ci><ci>C</ci></apply>
+     </math>
+    </kineticLaw>
+   </reaction>
+   <reaction id="cat" reversible="false">
+    <listOfReactants><speciesReference species="C"/></listOfReactants>
+    <listOfProducts><speciesReference species="P"/></listOfProducts>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><times/><ci>k2</ci><ci>C</ci></apply>
+     </math>
+    </kineticLaw>
+   </reaction>
+  </listOfReactions>
+ </model>
+</sbml>
+"""
+
+
+def test_mm_matches_handwritten_model():
+    model, p0 = from_sbml(MM_SBML)
+    assert model.param_names == ("k1", "km1", "k2", "E0")
+    assert model.state_names == ("S", "C", "P")
+    m_ref = library.michaelis_menten()
+    p = jnp.asarray(library.MM_TRUE_PARAMS)
+    y = jnp.asarray([0.7, 0.1, 0.2])
+    np.testing.assert_allclose(np.asarray(model.rhs(0.0, y, p)),
+                               np.asarray(m_ref.rhs(0.0, y, p)), rtol=1e-14)
+    cfg = SolverConfig(rtol=1e-8, atol=1e-11)
+    t_eval = jnp.linspace(0.0, 5.0, 6)
+    ys = model.simulate(p, (0.0, 5.0), t_eval, config=cfg).ys
+    ys_ref = m_ref.simulate(p, (0.0, 5.0), t_eval, config=cfg).ys
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                               rtol=1e-10, atol=1e-12)
+    # declared parameter values come back as the natural start point
+    np.testing.assert_allclose(p0, [30.0, 10.0, 5.0, 0.2])
+
+
+LOCAL_FD_SBML = """<?xml version="1.0"?>
+<sbml xmlns="http://www.sbml.org/sbml/level3/version2/core"
+      level="3" version="2">
+ <model id="features">
+  <listOfFunctionDefinitions>
+   <functionDefinition id="hill">
+    <math xmlns="http://www.w3.org/1998/Math/MathML">
+     <lambda>
+      <bvar><ci>x</ci></bvar><bvar><ci>K</ci></bvar>
+      <apply><divide/><ci>x</ci>
+       <apply><plus/><ci>K</ci><ci>x</ci></apply></apply>
+     </lambda>
+    </math>
+   </functionDefinition>
+  </listOfFunctionDefinitions>
+  <listOfCompartments>
+   <compartment id="cell" size="1" constant="true"/>
+  </listOfCompartments>
+  <listOfSpecies>
+   <species id="A" compartment="cell" initialConcentration="2"
+            boundaryCondition="false" constant="false"/>
+   <species id="Inp" compartment="cell" initialConcentration="0.5"
+            boundaryCondition="true" constant="false"/>
+  </listOfSpecies>
+  <listOfParameters>
+   <parameter id="K" value="1.0" constant="true"/>
+  </listOfParameters>
+  <listOfReactions>
+   <reaction id="deg" reversible="false">
+    <listOfReactants><speciesReference species="A"/></listOfReactants>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><times/><ci>kdeg</ci><ci>Inp</ci>
+       <apply><ci>hill</ci><ci>A</ci><ci>K</ci></apply></apply>
+     </math>
+     <listOfLocalParameters>
+      <localParameter id="kdeg" value="3.0"/>
+     </listOfLocalParameters>
+    </kineticLaw>
+   </reaction>
+  </listOfReactions>
+ </model>
+</sbml>
+"""
+
+
+def test_local_params_fundefs_boundary_species():
+    model, p0 = from_sbml(LOCAL_FD_SBML)
+    # params: global K, lifted local deg__kdeg, boundary species Inp
+    assert model.param_names == ("K", "deg__kdeg", "Inp")
+    np.testing.assert_allclose(p0, [1.0, 3.0, 0.5])
+    assert model.state_names == ("A",)
+    p = jnp.asarray(p0)
+    y = jnp.asarray([2.0])
+    # dA/dt = -kdeg * Inp * A/(K+A) = -3*0.5*2/3 = -1
+    np.testing.assert_allclose(np.asarray(model.rhs(0.0, y, p)), [-1.0],
+                               rtol=1e-14)
+
+
+VOLUME_SBML = """<?xml version="1.0"?>
+<sbml xmlns="http://www.sbml.org/sbml/level2/version4" level="2" version="4">
+ <model id="vol">
+  <listOfCompartments><compartment id="cyt" size="2.0"/></listOfCompartments>
+  <listOfSpecies>
+   <species id="X" compartment="cyt" initialAmount="4.0"/>
+  </listOfSpecies>
+  <listOfParameters><parameter id="k" value="0.5"/></listOfParameters>
+  <listOfReactions>
+   <reaction id="dx" reversible="false">
+    <listOfReactants><speciesReference species="X"/></listOfReactants>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><times/><ci>k</ci><ci>X</ci><ci>cyt</ci></apply>
+     </math>
+    </kineticLaw>
+   </reaction>
+  </listOfReactions>
+ </model>
+</sbml>
+"""
+
+
+def test_compartment_volume_semantics():
+    """State is concentration; kinetic law is substance/time; ODE /= V."""
+    model, p0 = from_sbml(VOLUME_SBML)
+    p = jnp.asarray(p0)
+    # initialAmount 4 in V=2 → [X]0 = 2
+    np.testing.assert_allclose(np.asarray(model.y0(p)), [2.0])
+    # v = k*[X]*V (amount/time) → d[X]/dt = -v/V = -k*[X] = -1.0
+    np.testing.assert_allclose(
+        np.asarray(model.rhs(0.0, jnp.asarray([2.0]), p)), [-1.0],
+        rtol=1e-14)
+
+
+RULES_SBML = """<?xml version="1.0"?>
+<sbml xmlns="http://www.sbml.org/sbml/level2/version4" level="2" version="4">
+ <model id="rules">
+  <listOfCompartments><compartment id="c" size="1"/></listOfCompartments>
+  <listOfSpecies>
+   <species id="Y" compartment="c" initialConcentration="1"/>
+  </listOfSpecies>
+  <listOfParameters>
+   <parameter id="a" value="2.0" constant="true"/>
+   <parameter id="tot" value="0" constant="false"/>
+   <parameter id="drive" value="1.5" constant="false"/>
+  </listOfParameters>
+  <listOfInitialAssignments>
+   <initialAssignment symbol="Y">
+    <math xmlns="http://www.w3.org/1998/Math/MathML">
+     <apply><divide/><ci>a</ci><cn type="integer">4</cn></apply>
+    </math>
+   </initialAssignment>
+  </listOfInitialAssignments>
+  <listOfRules>
+   <assignmentRule variable="tot">
+    <math xmlns="http://www.w3.org/1998/Math/MathML">
+     <apply><times/><cn>2</cn><ci>Y</ci></apply>
+    </math>
+   </assignmentRule>
+   <rateRule variable="drive">
+    <math xmlns="http://www.w3.org/1998/Math/MathML">
+     <apply><minus/><ci>a</ci><ci>drive</ci></apply>
+    </math>
+   </rateRule>
+  </listOfRules>
+  <listOfReactions>
+   <reaction id="grow" reversible="false">
+    <listOfProducts><speciesReference species="Y"/></listOfProducts>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><times/><ci>tot</ci><ci>drive</ci></apply>
+     </math>
+    </kineticLaw>
+   </reaction>
+  </listOfReactions>
+ </model>
+</sbml>
+"""
+
+
+def test_rules_and_initial_assignments():
+    model, p0 = from_sbml(RULES_SBML)
+    # 'tot' is an assignment rule (derived), 'drive' a rate rule (state)
+    assert model.param_names == ("a",)
+    assert model.state_names == ("Y", "drive")
+    p = jnp.asarray(p0)
+    # initialAssignment: Y0 = a/4 = 0.5; rate-rule state starts at its value
+    np.testing.assert_allclose(np.asarray(model.y0(p)), [0.5, 1.5])
+    # dY/dt = tot*drive = (2Y)*drive; d(drive)/dt = a - drive
+    y = jnp.asarray([0.5, 1.5])
+    np.testing.assert_allclose(np.asarray(model.rhs(0.0, y, p)),
+                               [2 * 0.5 * 1.5, 2.0 - 1.5], rtol=1e-14)
+
+
+def test_unsupported_constructs_raise():
+    events = MM_SBML.replace(
+        "<listOfReactions>",
+        "<listOfEvents><event id='e'/></listOfEvents><listOfReactions>")
+    with pytest.raises(SbmlUnsupportedError):
+        from_sbml(events)
+    algebraic = RULES_SBML.replace(
+        "<rateRule variable=\"drive\">", "<algebraicRule>").replace(
+        "</rateRule>", "</algebraicRule>")
+    with pytest.raises(SbmlUnsupportedError):
+        from_sbml(algebraic)
+    with pytest.raises(SbmlError):
+        from_sbml("<notsbml/>")
+
+
+def test_unknown_symbol_is_an_error():
+    broken = MM_SBML.replace("<ci>km1</ci>", "<ci>typo</ci>")
+    with pytest.raises(SbmlError):
+        from_sbml(broken)
