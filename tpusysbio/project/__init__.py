@@ -10,4 +10,5 @@ from tpusysbio.project.scale_factors import (  # noqa: F401
     scale_factors,
     scale_factors_and_grad,
 )
+from tpusysbio.project.priors import Priors  # noqa: F401
 from tpusysbio.project.residuals import Project  # noqa: F401

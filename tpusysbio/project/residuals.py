@@ -87,10 +87,15 @@ class Project:
     # 31) the Newton column block shrinks by P/G at identical math.
     # 'auto' picks 'theta' whenever G < P.
     sens_mode: str = "auto"
+    # Optional log-normal priors on parameters / scale factors, appended
+    # as extra least-squares rows (project/priors.py) — the reference's
+    # regularized-fit mode.
+    priors: Optional["Priors"] = None  # noqa: F821
 
     @property
     def n_residuals(self) -> int:
-        return self.batch.n_residuals
+        extra = self.priors.n_rows if self.priors is not None else 0
+        return self.batch.n_residuals + extra
 
     @property
     def n_theta(self) -> int:
@@ -457,6 +462,10 @@ class Project:
             r = inv_sig * (B_row * sim - data)
             J = inv_sig[:, None] * (B_row[:, None] * dsim
                                     + sim[:, None] * dB_row)
+            if self.priors is not None:
+                r_p, J_p = self.priors.rows(theta, B, dB)
+                r = jnp.concatenate([r, r_p])
+                J = jnp.concatenate([J, J_p], axis=0)
         else:
             if b.n_groups:
                 B = _scale_factors(sim, data, inv_var, group, mask,
@@ -466,6 +475,9 @@ class Project:
             gclip = jnp.clip(group, 0, None)
             B_row = jnp.where(group >= 0, B[gclip], 1.0)
             r = inv_sig * (B_row * sim - data)
+            if self.priors is not None:
+                r_p, _ = self.priors.rows(theta, B)
+                r = jnp.concatenate([r, r_p])
             J = None
 
         cost = 0.5 * jnp.sum(r * r)
