@@ -11,3 +11,4 @@ from tpusysbio.data.experiment import (  # noqa: F401
     ExperimentBatch,
     Measurement,
 )
+from tpusysbio.data.io import experiments_from_csv  # noqa: F401
