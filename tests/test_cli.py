@@ -38,7 +38,7 @@ def test_multistart_two_phase_pipeline(tmp_path, capsys):
               "--top-k", "2", "--screen-iters", "2", "--polish-iters",
               "4", "--iter-chunk", "4", "--t-end", "10", "--n-times",
               "6", "--spread", "0.3", "--linear-solver", "inv32",
-              "--out", out])
+              "--out", out, "--plot", str(tmp_path / "ms")])
     captured = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(captured[0])
     assert rec["model"] == "mm3" and rec["top_k"] == 2
@@ -47,3 +47,5 @@ def test_multistart_two_phase_pipeline(tmp_path, capsys):
     assert data["theta"].shape == (2, 4)
     assert data["param_sigma"].shape == (2, 4)
     assert np.all(np.isfinite(data["cost"]))
+    for suffix in ("ms_waterfall.png", "ms_fit.png"):
+        assert os.path.getsize(str(tmp_path / suffix)) > 2000

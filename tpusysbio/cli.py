@@ -265,6 +265,15 @@ def cmd_multistart(args):
                  param_sigma=np.asarray(ranked.param_sigma),
                  free=np.asarray(free))
         print(f"ranked results saved to {args.out}", file=sys.stderr)
+    if args.plot:
+        from tpusysbio import viz
+
+        viz.plot_waterfall(screen).savefig(
+            f"{args.plot}_waterfall.png", dpi=110)
+        viz.plot_fit(proj_tight, ranked.theta[0]).savefig(
+            f"{args.plot}_fit.png", dpi=110)
+        print(f"plots saved to {args.plot}_waterfall.png / _fit.png",
+              file=sys.stderr)
 
 
 def main(argv=None):
@@ -335,6 +344,8 @@ def main(argv=None):
     p_ms.add_argument("--profile", metavar="DIR", default=None)
     p_ms.add_argument("--out", default=None,
                       help="save ranked results to .npz")
+    p_ms.add_argument("--plot", default=None, metavar="PREFIX",
+                      help="save PREFIX_waterfall.png + PREFIX_fit.png")
     p_ms.set_defaults(fn=cmd_multistart)
 
     args = parser.parse_args(argv)
