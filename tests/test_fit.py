@@ -679,3 +679,73 @@ def test_two_phase_polish_subbatch_matches_full():
     with pytest.raises(ValueError):
         multistart_two_phase(fns, fns, starts, screen_cfg, polish_cfg,
                              top_k=4, polish_subbatch=3)
+
+
+@pytest.mark.parametrize("loss,f_scale", [("soft_l1", 1.0),
+                                          ("huber", 0.5),
+                                          ("cauchy", 2.0),
+                                          ("arctan", 1.0)])
+def test_trf_robust_loss_matches_scipy(loss, f_scale):
+    """Robust losses: same optimum and robust cost as scipy
+    least_squares(loss=..., f_scale=...) on a fit with outliers
+    (spec: scipy/optimize/_lsq/least_squares.py construct_loss_function,
+    common.py scale_for_robust_loss_function)."""
+    from scipy.optimize import least_squares
+
+    from tpusysbio.optim import trf_fit
+
+    # exponential-decay curve with two gross outliers
+    t = np.linspace(0.0, 5.0, 24)
+    y = 3.0 * np.exp(-0.8 * t) + 0.3
+    rng = np.random.default_rng(3)
+    y_noisy = y + rng.normal(scale=0.02, size=t.shape)
+    y_noisy[5] += 2.5
+    y_noisy[17] -= 1.8
+    tj, yj = jnp.asarray(t), jnp.asarray(y_noisy)
+
+    def resid(th):
+        a, k, c = th
+        return a * jnp.exp(-k * tj) + c - yj
+
+    def rj(th):
+        return resid(th), jax.jacfwd(resid)(th)
+
+    theta0 = jnp.asarray([1.0, 1.0, 0.0])
+    lb = jnp.asarray([-10.0, -10.0, -10.0])
+    ub = jnp.asarray([10.0, 10.0, 10.0])
+    mine = jax.jit(lambda th: trf_fit(
+        resid, rj, th, lb, ub, FitConfig(max_iter=200),
+        loss=loss, f_scale=f_scale))(theta0)
+    ref = least_squares(
+        lambda th: np.asarray(resid(jnp.asarray(th))), np.asarray(theta0),
+        jac=lambda th: np.asarray(jax.jacfwd(resid)(jnp.asarray(th))),
+        loss=loss, f_scale=f_scale, method="trf")
+    assert int(mine.status) > 0 and ref.success
+    np.testing.assert_allclose(np.asarray(mine.theta), ref.x,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mine.cost), ref.cost, rtol=1e-6)
+    # robustness semantics: the decay rate lands closer to the truth
+    # (0.8) than the plain-least-squares fit dragged by the outliers
+    plain = trf_fit(resid, rj, theta0, lb, ub, FitConfig(max_iter=200))
+    assert (abs(float(mine.theta[1]) - 0.8)
+            < abs(float(plain.theta[1]) - 0.8))
+
+
+def test_trf_robust_loss_validation_and_linear_default():
+    from tpusysbio.optim import trf_fit
+    from tpusysbio.optim.loss import make_loss
+
+    with pytest.raises(ValueError):
+        make_loss("l1", 1.0)
+    with pytest.raises(ValueError):
+        make_loss("huber", 0.0)
+    lb = jnp.asarray([-10.0, -10.0])
+    ub = jnp.asarray([10.0, 10.0])
+    base = trf_fit(_rosenbrock_residuals, _rosenbrock_rj,
+                   jnp.asarray([-1.2, 1.0]), lb, ub,
+                   FitConfig(max_iter=200))
+    lin = trf_fit(_rosenbrock_residuals, _rosenbrock_rj,
+                  jnp.asarray([-1.2, 1.0]), lb, ub,
+                  FitConfig(max_iter=200), loss="linear", f_scale=2.0)
+    np.testing.assert_array_equal(np.asarray(base.theta),
+                                  np.asarray(lin.theta))

@@ -28,6 +28,7 @@ from jax import lax
 from tpusysbio.config import FitConfig
 from tpusysbio.linalg import lu as _lu
 from tpusysbio.optim.lm import FitResult
+from tpusysbio.optim.loss import make_loss
 
 
 class _TRFState(NamedTuple):
@@ -66,11 +67,20 @@ def trf_fit(
     upper: jax.Array,
     config: FitConfig = FitConfig(),
     subproblem: str = "normal",
+    loss: str = "linear",
+    f_scale: float = 1.0,
 ) -> FitResult:
     """Minimize ``0.5 ||r(θ)||²`` subject to ``lower < θ < upper``.
 
     ``theta0`` is nudged into the strict interior if needed (scipy
     ``make_strictly_feasible``).
+
+    ``loss`` / ``f_scale`` select a robust loss exactly as in
+    ``scipy.optimize.least_squares`` (``'linear'``, ``'huber'``,
+    ``'soft_l1'``, ``'cauchy'``, ``'arctan'``): the objective becomes
+    ``0.5·f_scale²·Σρ((r/f_scale)²)`` and residual/Jacobian are rescaled
+    per iteration with the robust curvature (optim/loss.py). The
+    reported ``cost`` is the robust cost.
 
     ``subproblem`` selects the trust-region step solver:
 
@@ -100,10 +110,23 @@ def trf_fit(
         x = jnp.where(jnp.isfinite(ub), jnp.minimum(x, ub - pad), x)
         return x
 
+    cost_fn, scale_fn = make_loss(loss, f_scale)
+
+    def eval_rj(x):
+        r, J = residual_and_jac_fn(x)
+        bad = ~(jnp.all(jnp.isfinite(r)) & jnp.all(jnp.isfinite(J)))
+        c = 0.5 * jnp.sum(r * r) if cost_fn is None else cost_fn(r)
+        if scale_fn is not None:
+            r, J = scale_fn(r, J)
+        return r, J, c, bad
+
+    def eval_r(x):
+        r = residual_fn(x)
+        c = 0.5 * jnp.sum(r * r) if cost_fn is None else cost_fn(r)
+        return c, jnp.all(jnp.isfinite(r))
+
     x0 = interior(theta0)
-    r0, J0 = residual_and_jac_fn(x0)
-    cost0 = 0.5 * jnp.sum(r0 * r0)
-    bad0 = ~(jnp.all(jnp.isfinite(r0)) & jnp.all(jnp.isfinite(J0)))
+    r0, J0, cost0, bad0 = eval_rj(x0)
 
     def i32(v):
         return jnp.asarray(v, jnp.int32)
@@ -163,9 +186,7 @@ def trf_fit(
         x_t = interior(st.x + p)
         step = x_t - st.x
 
-        r_t = residual_fn(x_t)
-        cost_t = 0.5 * jnp.sum(r_t * r_t)
-        finite_t = jnp.all(jnp.isfinite(r_t))
+        cost_t, finite_t = eval_r(x_t)
 
         pred = 0.5 * (ph @ (st.lam * damp_diag * ph - gh))
         pred = jnp.maximum(pred, eps)
@@ -179,7 +200,7 @@ def trf_fit(
         nu_new = jnp.where(accept, 2.0, st.nu * 2.0)
 
         r_new, J_new = lax.cond(
-            accept, lambda: residual_and_jac_fn(x_t), lambda: (st.r, st.J))
+            accept, lambda: eval_rj(x_t)[:2], lambda: (st.r, st.J))
         x_new = jnp.where(accept, x_t, st.x)
         cost_new = jnp.where(accept, cost_t, st.cost)
         njev = st.njev + jnp.where(accept, 1, 0)
