@@ -25,15 +25,17 @@ import numpy as np  # noqa: E402
 
 N = int(os.environ.get("TPUSYSBIO_EGFR10K_N", "10000"))
 TOP_K = int(os.environ.get("TPUSYSBIO_EGFR10K_TOPK", "64"))
-# Round-4 defaults ported from the MAPK headline's measured knob wins
-# (docs/PERFORMANCE.md "Screen chunking re-tuned"): 1024-chunks with the
-# screen fit as ONE un-chunked execution per chunk (ITER_CHUNK=0) beat
-# 512-chunks with 3-iter calls — per-call dispatch overhead on the
-# remote runtime, not device rate, was the difference. run_chunked now
-# also pipelines chunk dispatch against result transfer/checkpointing.
-CHUNK = int(os.environ.get("TPUSYSBIO_EGFR10K_CHUNK", "1024"))
+# Round-4 measured knobs (each swept in isolation on the chip; see
+# docs/PERFORMANCE.md "EGFR 10k round-4 sweep"): unlike the MAPK
+# headline, EGFR-97 is COMPUTE-bound, so narrower 512-chunks beat 1024
+# (tighter lockstep unions outweigh the extra dispatches: 370.4 -> 325.3
+# s), the 192-step screen cap beats 288 (the cap is the union's unit of
+# work; best polished cost bit-identical: 325.3 -> 254.0 s), and 5
+# screen iterations beat 6 (254.0 -> 218.9 s with the winner basin still
+# ranked first and the anchor-style quality gate green).
+CHUNK = int(os.environ.get("TPUSYSBIO_EGFR10K_CHUNK", "512"))
 ITER_CHUNK = int(os.environ.get("TPUSYSBIO_EGFR10K_ITER_CHUNK", "0"))
-SCREEN_ITERS = int(os.environ.get("TPUSYSBIO_EGFR10K_SCREEN_ITERS", "6"))
+SCREEN_ITERS = int(os.environ.get("TPUSYSBIO_EGFR10K_SCREEN_ITERS", "5"))
 POLISH_ITERS = int(os.environ.get("TPUSYSBIO_EGFR10K_POLISH_ITERS", "10"))
 # Screening step cap: the lockstep union cost per LM iteration is the max
 # step count across the chunk, so this cap IS the screen-phase unit of
@@ -41,7 +43,7 @@ POLISH_ITERS = int(os.environ.get("TPUSYSBIO_EGFR10K_POLISH_ITERS", "10"))
 # rank last — exactly what a screening phase wants (the basin winners are
 # the well-conditioned members). Nominal rtol=1e-3 integration ≈ 130
 # steps.
-MAX_STEPS = int(os.environ.get("TPUSYSBIO_EGFR10K_MAX_STEPS", "288"))
+MAX_STEPS = int(os.environ.get("TPUSYSBIO_EGFR10K_MAX_STEPS", "192"))
 
 
 def main():

@@ -259,3 +259,29 @@ def test_unknown_symbol_is_an_error():
     broken = MM_SBML.replace("<ci>km1</ci>", "<ci>typo</ci>")
     with pytest.raises(SbmlError):
         from_sbml(broken)
+
+
+def test_repressilator_sbml_example_matches_library():
+    """examples/repressilator.sbml.xml (rate rules + power MathML) is
+    state-for-state the hand-written library model."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "repressilator.sbml.xml")
+    model, p0 = from_sbml(path)
+    ref = library.repressilator()
+    assert model.param_names == ref.param_names
+    assert model.state_names == ref.state_names
+    np.testing.assert_allclose(p0, library.REPRESSILATOR_TRUE_PARAMS)
+    p = jnp.asarray(library.REPRESSILATOR_TRUE_PARAMS)
+    y = jnp.asarray([0.2, 0.15, 0.3, 0.12, 0.44, 0.53])
+    np.testing.assert_allclose(np.asarray(model.rhs(0.0, y, p)),
+                               np.asarray(ref.rhs(0.0, y, p)), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(model.y0(jnp.asarray(p0))),
+                               np.asarray(ref.y0(p)))
+
+
+def test_rule_on_constant_entity_is_an_error():
+    bad = RULES_SBML.replace('<parameter id="drive" value="1.5" constant="false"/>',
+                             '<parameter id="drive" value="1.5" constant="true"/>')
+    with pytest.raises(SbmlError):
+        from_sbml(bad)

@@ -285,6 +285,7 @@ def from_sbml(source: str, name: Optional[str] = None) -> OdeModel:
         species.append({
             "id": sid, "init": sp.Float(init), "vol": vol,
             "substance": substance_units,
+            "constant": s.get("constant", "false") == "true",
             "fixed": (s.get("boundaryCondition", "false") == "true"
                       or s.get("constant", "false") == "true"),
         })
@@ -397,13 +398,23 @@ def from_sbml(source: str, name: Optional[str] = None) -> OdeModel:
     # ---- classify: states vs parameters --------------------------------
     # species symbol in MathML means concentration unless substance-only;
     # our state holds the same native form, so no symbol rewrite is needed.
+    # A boundaryCondition species targeted by a rateRule is a STATE (SBML:
+    # boundary species change via rules, not reactions); rules on
+    # constant="true" entities are invalid SBML and rejected.
+    for s in species:
+        if s["constant"] and (s["id"] in rate_rules
+                              or s["sym"] in assignments):
+            raise SbmlError(f"rule targets constant species {s['id']!r}")
     state_species = [s for s in species
-                     if not s["fixed"] and s["sym"] not in assignments]
+                     if (s["id"] in rate_rules or not s["fixed"])
+                     and s["sym"] not in assignments]
     param_ids: List[str] = []
     param_vals: List[float] = []
     for pid, val, const in global_params:
-        if not const and (pid in rate_rules
-                          or symbols[pid] in assignments):
+        ruled = pid in rate_rules or symbols[pid] in assignments
+        if const and ruled:
+            raise SbmlError(f"rule targets constant parameter {pid!r}")
+        if ruled:
             continue  # becomes a state / derived expression below
         param_ids.append(pid)
         param_vals.append(val)
@@ -411,7 +422,8 @@ def from_sbml(source: str, name: Optional[str] = None) -> OdeModel:
         param_ids.append(pid)
         param_vals.append(val)
     for s in species:
-        if s["fixed"]:
+        if (s["fixed"] and s["id"] not in rate_rules
+                and s["sym"] not in assignments):
             param_ids.append(s["id"])
             init = init_assign.get(s["id"], s["init"])
             if isinstance(init, sp.Expr) and init.free_symbols:
