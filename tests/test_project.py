@@ -308,3 +308,36 @@ def test_sens_mode_theta_massaction_fast_path():
     scale = np.maximum(np.abs(np.asarray(J_p)), 1.0)
     np.testing.assert_allclose(np.asarray(J_t) / scale,
                                np.asarray(J_p) / scale, atol=5e-6)
+
+
+def test_parameter_map_grouped_sharing():
+    """Condition-group sharing: one θ entry per distinct label — the
+    reference's partially-shared ensembles (between all-shared and
+    all-local)."""
+    pm = ParameterMap.create(
+        ("a", "b", "c"), 4, shared=("a",),
+        grouped={"b": ["wt", "wt", "mut", "mut"]},
+        fixed={"c": 2.0})
+    assert pm.theta_names == ("a", "b[wt]", "b[mut]")
+    theta = jnp.log(jnp.asarray([1.5, 3.0, 7.0]))
+    p = np.asarray(pm.expand(theta))
+    np.testing.assert_allclose(p[:, 0], 1.5)           # a everywhere
+    np.testing.assert_allclose(p[:2, 1], 3.0)          # b[wt] in e0, e1
+    np.testing.assert_allclose(p[2:, 1], 7.0)          # b[mut] in e2, e3
+    np.testing.assert_allclose(p[:, 2], 2.0)           # fixed
+    # chain rule: dp/dθ one-hot rows scale by p
+    chain = np.asarray(pm.chain(theta))
+    assert chain.shape == (4, 3, 3)
+    np.testing.assert_allclose(chain[0, 1, 1], 3.0)    # e0 b -> b[wt]
+    np.testing.assert_allclose(chain[3, 1, 2], 7.0)    # e3 b -> b[mut]
+    np.testing.assert_allclose(chain[3, 1, 1], 0.0)
+    # pack by full θ name
+    th2 = pm.pack({"a": 1.5, "b[wt]": 3.0, "b[mut]": 7.0})
+    np.testing.assert_allclose(np.asarray(th2), np.asarray(theta))
+    # validation
+    with pytest.raises(ValueError):
+        ParameterMap.create(("a",), 2, shared=("a",),
+                            grouped={"a": ["x", "y"]})
+    with pytest.raises(ValueError):
+        ParameterMap.create(("a", "b"), 3, shared=("a",),
+                            grouped={"b": ["x", "y"]})

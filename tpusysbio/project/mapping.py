@@ -64,14 +64,21 @@ class ParameterMap:
     def create(param_names: Sequence[str], n_experiments: int,
                shared: Sequence[str] = (), local: Sequence[str] = (),
                fixed: Union[Dict[str, float], None] = None,
+               grouped: Union[Dict[str, Sequence], None] = None,
                dtype=jnp.float64) -> "ParameterMap":
         """Build a map from name lists.
 
         ``shared``: one θ entry each; ``local``: E θ entries each (named
-        ``"{name}[e]"``); everything else must appear in ``fixed`` (scalar
-        or length-E sequence — per-experiment condition settings).
+        ``"{name}[e]"``); ``grouped``: parameters shared across SUBSETS
+        of experiments — ``{"k1": ["wt", "wt", "mut"]}`` (one label per
+        experiment) fits one θ entry per distinct label, named
+        ``"{name}[{label}]"`` (the reference's condition-group sharing:
+        shared and local are the all-one-group / all-distinct special
+        cases); everything else must appear in ``fixed`` (scalar or
+        length-E sequence — per-experiment condition settings).
         """
         fixed = dict(fixed or {})
+        grouped = dict(grouped or {})
         P = len(param_names)
         E = n_experiments
         map_idx = np.full((E, P), -1, dtype=np.int32)
@@ -84,6 +91,24 @@ class ParameterMap:
         for name in local:
             for e in range(E):
                 theta_names.append(f"{name}[{e}]")
+        group_idx: Dict[str, list] = {}  # name -> per-experiment θ index
+        for name, labels in grouped.items():
+            if name in shared or name in local or name in fixed:
+                raise ValueError(f"parameter {name!r} is grouped AND "
+                                 "shared/local/fixed")
+            labels = list(labels)
+            if len(labels) != E:
+                raise ValueError(
+                    f"grouped[{name!r}] needs one label per experiment "
+                    f"({E}), got {len(labels)}")
+            idx_of = {}
+            per_exp = []
+            for lab in labels:
+                if lab not in idx_of:
+                    idx_of[lab] = len(theta_names)
+                    theta_names.append(f"{name}[{lab}]")
+                per_exp.append(idx_of[lab])
+            group_idx[name] = per_exp
 
         for i, name in enumerate(param_names):
             if name in shared:
@@ -92,13 +117,15 @@ class ParameterMap:
                 li = list(local).index(name)
                 for e in range(E):
                     map_idx[e, i] = local_base + li * E + e
+            elif name in group_idx:
+                map_idx[:, i] = group_idx[name]
             elif name in fixed:
                 v = fixed[name]
                 v = np.broadcast_to(np.asarray(v, dtype=np.float64), (E,))
                 fixed_arr[:, i] = v
             else:
-                raise ValueError(
-                    f"parameter {name!r} is neither shared, local, nor fixed")
+                raise ValueError(f"parameter {name!r} is neither shared, "
+                                 "local, grouped, nor fixed")
 
         return ParameterMap(
             map_idx=jnp.asarray(map_idx),
