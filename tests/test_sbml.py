@@ -285,3 +285,48 @@ def test_rule_on_constant_entity_is_an_error():
                              '<parameter id="drive" value="1.5" constant="true"/>')
     with pytest.raises(SbmlError):
         from_sbml(bad)
+
+
+def test_massaction_sbml_roundtrip():
+    """to_sbml(net) -> from_sbml reproduces the network RHS exactly,
+    including a catalytic cycle and a 2A dimerization (stoichiometry 2
+    exponents)."""
+    from tpusysbio.model.massaction import NetworkBuilder
+    from tpusysbio.model.sbml_export import to_sbml
+
+    b = NetworkBuilder()
+    b.catalytic("E1", "A", "Ap")          # names with ':' and '.' inside
+    b.reaction("dimerize", ["Ap", "Ap"], ["D"])
+    b.reaction("decay", ["D"], [])
+    net = b.build()
+
+    rng = np.random.default_rng(0)
+    y0 = rng.uniform(0.1, 1.0, net.n_species)
+    p = rng.uniform(0.5, 3.0, net.n_reactions)
+    doc = to_sbml(net, y0, p, name="cascade")
+    model, p0 = from_sbml(doc)
+    assert model.n_states == net.n_species
+    assert model.n_params == net.n_reactions
+    np.testing.assert_allclose(p0, p)
+    np.testing.assert_allclose(np.asarray(model.y0(jnp.asarray(p))), y0)
+
+    ref_rhs = net.rhs()
+    y = jnp.asarray(rng.uniform(0.05, 0.9, net.n_species))
+    pj = jnp.asarray(p)
+    np.testing.assert_allclose(np.asarray(model.rhs(0.0, y, pj)),
+                               np.asarray(ref_rhs(0.0, y, pj)), rtol=1e-14)
+
+
+def test_sbml_export_validation():
+    from tpusysbio.model.massaction import NetworkBuilder
+    from tpusysbio.model.sbml_export import to_sbml
+
+    b = NetworkBuilder()
+    b.reaction("r1", ["A"], ["B"])
+    net = b.build()
+    with pytest.raises(ValueError):
+        to_sbml(net, [1.0])         # wrong y0 length
+    with pytest.raises(ValueError):
+        to_sbml(net, {"A": 1.0, "nope": 2.0})
+    with pytest.raises(ValueError):
+        to_sbml(net, [1.0, 0.0], p=[1.0, 2.0])  # wrong p length
