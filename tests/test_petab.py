@@ -164,3 +164,30 @@ def test_petab_validation_errors(tmp_path):
     open(par_bad, "w").write(goodp.replace("k1\tlog10\t1", "zzz\tlog10\t1"))
     with pytest.raises(PetabError):  # estimating a non-model parameter
         from_petab(yaml_path)
+
+
+def test_petab_bounded_multistart(tmp_path):
+    """multistart_trf drives a PEtab problem's bounds over a fake mesh."""
+    import os
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    from tpusysbio.fit.multistart import multistart_trf
+    from tpusysbio.utils import make_mesh
+
+    prob = from_petab(_make_problem(tmp_path, prior_line=False),
+                      config=SolverConfig(rtol=1e-6, atol=1e-8))
+    starts = prob.sample_startpoints(jax.random.PRNGKey(1), 8)
+    out = multistart_trf(prob.project.residuals,
+                         prob.project.residuals_and_jacobian,
+                         starts, prob.lb, prob.ub,
+                         FitConfig(max_iter=40), mesh=make_mesh())
+    # no member fails outright; the cap (status 0) is fine for far starts
+    assert (np.asarray(out.status) >= 0).all()
+    assert (np.asarray(out.status) > 0).any()
+    best = out.best()
+    theta_true = jnp.log(jnp.asarray([30.0, 10.0, 5.0]))
+    assert float(best.cost) <= float(
+        jax.jit(prob.project.cost)(theta_true)) + 1e-9
+    th = np.asarray(out.theta)
+    assert (th <= prob.ub[None, :] + 1e-12).all()
+    assert (th >= prob.lb[None, :] - 1e-12).all()

@@ -14,6 +14,7 @@ from tpusysbio.fit.multistart import (  # noqa: F401
     TwoPhaseDriver,
     make_multistart_runner,
     multistart_fit,
+    multistart_trf,
     multistart_two_phase,
     run_chunked,
 )

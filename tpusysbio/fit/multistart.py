@@ -473,6 +473,52 @@ def multistart_fit(
     return res
 
 
+def multistart_trf(
+    residual_fn: Callable,
+    residual_and_jac_fn: Callable,
+    theta0s: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    config: FitConfig = FitConfig(),
+    mesh: Optional[Mesh] = None,
+    subproblem: str = "normal",
+    loss: str = "linear",
+    f_scale: float = 1.0,
+) -> MultistartResult:
+    """Bounded multi-start: ``trf_fit`` vmapped over the starts axis.
+
+    The bounded counterpart of :func:`multistart_fit` — PEtab problems
+    carry box bounds (``petab_import.PetabProblem.lb/ub``) and this is
+    their natural multi-start driver; robust ``loss``/``f_scale`` pass
+    straight through to every member. Bounds are replicated across the
+    mesh (only the starts axis shards). The TRF state is not resumable,
+    so the chunk/checkpoint knobs of ``multistart_fit`` do not apply;
+    for screening-scale N use the two-phase driver with an LM screen and
+    a bounded polish.
+    """
+    from tpusysbio.optim.trf import trf_fit
+
+    lower = jnp.asarray(lower, theta0s.dtype)
+    upper = jnp.asarray(upper, theta0s.dtype)
+
+    def fit_batch(starts):
+        return jax.vmap(lambda th0: trf_fit(
+            residual_fn, residual_and_jac_fn, th0, lower, upper, config,
+            subproblem=subproblem, loss=loss, f_scale=f_scale))(starts)
+
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        run = jax.jit(jax.shard_map(
+            fit_batch, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+            check_vma=False))
+    else:
+        run = jax.jit(fit_batch)
+    fr = run(theta0s)
+    return MultistartResult(theta=fr.theta, cost=fr.cost,
+                            grad_norm=fr.grad_norm, status=fr.status,
+                            n_iter=fr.n_iter, theta0=theta0s)
+
+
 def multistart_two_phase(
     screen_fns,
     polish_fns,
