@@ -18,7 +18,14 @@ reference delegates to):
 - a fully-jitted Levenberg–Marquardt / trust-region optimizer
   (spec: ``scipy/optimize/_lsq``; SURVEY.md §3.5),
 - vmapped multi-start fitting sharded over a ``jax.sharding.Mesh``
-  (SURVEY.md §2c — ensemble parallelism is the flagship strategy).
+  (SURVEY.md §2c — ensemble parallelism is the flagship strategy),
+- ecosystem IO: SBML import/export (``model.sbml_import`` /
+  ``model.sbml_export``), complete PEtab problems (``petab_import``),
+  tidy-CSV measurement tables (``data.io``),
+- regularized/robust fitting: log-normal parameter and scale-factor
+  priors (``project.priors``), scipy-parity robust losses for TRF
+  (``optim.loss``), condition-group parameter sharing
+  (``ParameterMap(grouped=...)``), and plotting (``viz``).
 
 Nothing here imports from the reference; the TPU compute path is
 JAX/XLA/Pallas throughout (XLA/Mosaic is the native layer on TPU).
