@@ -49,3 +49,48 @@ def test_multistart_two_phase_pipeline(tmp_path, capsys):
     assert np.all(np.isfinite(data["cost"]))
     for suffix in ("ms_waterfall.png", "ms_fit.png"):
         assert os.path.getsize(str(tmp_path / suffix)) > 2000
+
+
+def test_multistart_config_yaml_drives_pipeline(tmp_path, capsys):
+    """--config on a model whose _FREE_PARAMS entry is a prefix STRING
+    (mapk22) — regression for the round-4 bug where the loaded RunSpec
+    was clobbered by the free-params lookup and the YAML's solver/fit
+    sections were silently ignored (caught by the first TPU CLI drive)."""
+    cfg = tmp_path / "tiny_mapk.yaml"
+    cfg.write_text("""
+model: mapk22
+solver:
+  rtol: 1.0e-5
+  atol: 1.0e-8
+  max_steps: 512
+  linear_solver: inv32
+screen_solver:
+  rtol: 1.0e-3
+  atol: 1.0e-6
+  max_steps: 128
+  linear_solver: inv32
+  mixed_precision: true
+fit:
+  max_iter: 4
+  eval_mode: lockstep
+screen_fit:
+  max_iter: 2
+  ftol: 1.0e-4
+  xtol: 1.0e-4
+  eval_mode: lockstep
+run:
+  starts: 4
+  top_k: 2
+  iter_chunk: 4
+  spread: 0.3
+  noise: 0.02
+  seed: 0
+  t_end: 40.0
+  n_times: 6
+""")
+    cli.main(["multistart", "--config", str(cfg)])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert rec["model"] == "mapk22"
+    assert rec["starts"] == 4 and rec["top_k"] == 2
+    assert rec["free_params"] == 12          # the prefix-string free set
+    assert np.isfinite(rec["best_cost"])

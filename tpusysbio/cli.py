@@ -149,13 +149,13 @@ def cmd_multistart(args):
     from tpusysbio.fit.multistart import multistart_two_phase
     from tpusysbio.project import ParameterMap, Project
 
-    spec = None
+    runspec = None
     if getattr(args, "config", None):
         from tpusysbio.config import load_config
 
-        spec = load_config(args.config)
-        args.model = spec.model
-        for k, v in spec.run.items():
+        runspec = load_config(args.config)
+        args.model = runspec.model
+        for k, v in runspec.run.items():
             key = k.replace("-", "_")
             if not hasattr(args, key):
                 raise SystemExit(f"config run key {k!r} is not a "
@@ -180,14 +180,14 @@ def cmd_multistart(args):
                  for i in range(model.n_obs))
     batch = ExperimentBatch.from_experiments([Experiment("synth", meas)])
 
-    spec = _FREE_PARAMS.get(args.model)
-    if spec is None:
+    free_spec = _FREE_PARAMS.get(args.model)
+    if free_spec is None:
         free = list(model.param_names)
-    elif isinstance(spec, str):
-        prefixes = tuple(spec.split("|"))
+    elif isinstance(free_spec, str):
+        prefixes = tuple(free_spec.split("|"))
         free = [n for n in model.param_names if n.startswith(prefixes)]
     else:
-        free = list(spec)
+        free = list(free_spec)
     fixed = {n: p_true[model.param_names.index(n)]
              for n in model.param_names if n not in free}
     pmap = ParameterMap.create(model.param_names, 1, shared=tuple(free),
@@ -195,14 +195,14 @@ def cmd_multistart(args):
     theta_true = pmap.pack(
         {n: p_true[model.param_names.index(n)] for n in free})
 
-    if spec is not None:
-        tight_cfg = spec.solver
-        screen_cfg = spec.screen_solver or dataclasses.replace(
+    if runspec is not None:
+        tight_cfg = runspec.solver
+        screen_cfg = runspec.screen_solver or dataclasses.replace(
             tight_cfg, rtol=1e-3, atol=1e-6, mixed_precision=True,
             sens_precision="full",
             max_steps=max(64, tight_cfg.max_steps // 4))
-        polish_fit_cfg = spec.fit
-        screen_fit_cfg = spec.screen_fit or dataclasses.replace(
+        polish_fit_cfg = runspec.fit
+        screen_fit_cfg = runspec.screen_fit or dataclasses.replace(
             polish_fit_cfg, max_iter=args.screen_iters, ftol=1e-4,
             xtol=1e-4)
     else:
@@ -220,10 +220,10 @@ def cmd_multistart(args):
                                    eval_mode="lockstep", ftol=1e-4,
                                    xtol=1e-4)
     mesh = None
-    if spec is not None and spec.mesh is not None:
+    if runspec is not None and runspec.mesh is not None:
         from tpusysbio.utils import make_mesh
 
-        mesh = make_mesh(config=spec.mesh)
+        mesh = make_mesh(config=runspec.mesh)
     proj_tight = Project(model=model, pmap=pmap, batch=batch,
                          config=tight_cfg)
     proj_screen = dataclasses.replace(proj_tight, config=screen_cfg)
