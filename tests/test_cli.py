@@ -94,3 +94,24 @@ run:
     assert rec["starts"] == 4 and rec["top_k"] == 2
     assert rec["free_params"] == 12          # the prefix-string free set
     assert np.isfinite(rec["best_cost"])
+
+
+def test_profile_cli_reports_cis(tmp_path, capsys):
+    """profile subcommand: fit + profile every free parameter, CI table,
+    .npz curves (fit/profile.py through the CLI)."""
+    out = str(tmp_path / "prof.npz")
+    cli.main(["profile", "--model", "mm3", "--n-points", "3", "--span",
+              "0.5", "--t-end", "10", "--n-times", "6", "--fit-iters",
+              "60", "--linear-solver", "inv32", "--out", out])
+    captured = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(captured[0])
+    assert rec["model"] == "mm3" and rec["grid_points"] == 7
+    assert np.isfinite(rec["fit_cost"])
+    data = np.load(out)
+    assert data["costs"].shape == (4, 7)
+    # the center column is the unconstrained optimum; warm-started refits
+    # may dip marginally below it (the fit terminates at ftol), never far
+    assert np.all(np.isfinite(data["costs"]))
+    center = data["costs"][:, 3]
+    assert np.all(data["costs"].min(axis=1) >= center * (1 - 1e-4))
+    assert data["ci"].shape == (4, 2)

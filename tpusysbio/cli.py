@@ -132,35 +132,16 @@ _FREE_PARAMS = {
 }
 
 
-def cmd_multistart(args):
-    """End-to-end two-phase multi-start pipeline on a canonical config:
-    synthesize data at the true parameters + noise, screen a Latin-
-    hypercube start cloud with the f32 engine at loose rtol, polish the
-    top fraction at reference accuracy, report ranked fits + 1σ bars."""
-    import dataclasses
-    import time
-
+def _synth_problem(args):
+    """Synthetic estimation problem on a canonical config: simulate at the
+    true parameters, add observation noise, free the model's usual
+    estimation subset. Returns (model, batch, pmap, free, theta_true)."""
     import numpy as np
     import jax.numpy as jnp
 
-    from tpusysbio.config import FitConfig, SolverConfig
+    from tpusysbio.config import SolverConfig
     from tpusysbio.data import Experiment, ExperimentBatch, Measurement
-    from tpusysbio.fit import latin_hypercube
-    from tpusysbio.fit.multistart import multistart_two_phase
-    from tpusysbio.project import ParameterMap, Project
-
-    runspec = None
-    if getattr(args, "config", None):
-        from tpusysbio.config import load_config
-
-        runspec = load_config(args.config)
-        args.model = runspec.model
-        for k, v in runspec.run.items():
-            key = k.replace("-", "_")
-            if not hasattr(args, key):
-                raise SystemExit(f"config run key {k!r} is not a "
-                                 "multistart setting")
-            setattr(args, key, v)
+    from tpusysbio.project import ParameterMap
 
     build, p_true = _models()[args.model]
     model = build()
@@ -194,6 +175,39 @@ def cmd_multistart(args):
                                fixed=fixed)
     theta_true = pmap.pack(
         {n: p_true[model.param_names.index(n)] for n in free})
+    return model, batch, pmap, free, theta_true
+
+
+def cmd_multistart(args):
+    """End-to-end two-phase multi-start pipeline on a canonical config:
+    synthesize data at the true parameters + noise, screen a Latin-
+    hypercube start cloud with the f32 engine at loose rtol, polish the
+    top fraction at reference accuracy, report ranked fits + 1σ bars."""
+    import dataclasses
+    import time
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpusysbio.config import FitConfig, SolverConfig
+    from tpusysbio.fit import latin_hypercube
+    from tpusysbio.fit.multistart import multistart_two_phase
+    from tpusysbio.project import Project
+
+    runspec = None
+    if getattr(args, "config", None):
+        from tpusysbio.config import load_config
+
+        runspec = load_config(args.config)
+        args.model = runspec.model
+        for k, v in runspec.run.items():
+            key = k.replace("-", "_")
+            if not hasattr(args, key):
+                raise SystemExit(f"config run key {k!r} is not a "
+                                 "multistart setting")
+            setattr(args, key, v)
+
+    model, batch, pmap, free, theta_true = _synth_problem(args)
 
     if runspec is not None:
         tight_cfg = runspec.solver
@@ -276,6 +290,66 @@ def cmd_multistart(args):
               file=sys.stderr)
 
 
+def cmd_profile(args):
+    """Profile-likelihood identifiability analysis on a canonical config:
+    fit the synthetic problem, then profile every free parameter around
+    the optimum (fit/profile.py — 2·P warm-started chains in one jitted
+    vmap) and report likelihood-ratio confidence intervals."""
+    import time
+
+    import numpy as np
+    import jax.numpy as jnp  # noqa: F401  (symmetry with other commands)
+
+    from tpusysbio.config import FitConfig, SolverConfig
+    from tpusysbio.fit import confidence_intervals, profile_likelihood
+    from tpusysbio.optim import lm_fit
+    from tpusysbio.project import Project
+
+    model, batch, pmap, free, theta_true = _synth_problem(args)
+    cfg = SolverConfig(rtol=args.rtol, atol=args.atol,
+                       max_steps=args.max_steps,
+                       linear_solver=args.linear_solver,
+                       sens_precision="f32")
+    proj = Project(model=model, pmap=pmap, batch=batch, config=cfg)
+    fit_cfg = FitConfig(max_iter=args.fit_iters, eval_mode="lockstep")
+
+    t0 = time.perf_counter()
+    fit = jax.jit(lambda th: lm_fit(
+        proj.residuals, proj.residuals_and_jacobian, th, fit_cfg))(theta_true)
+    prof = profile_likelihood(
+        proj.residuals, proj.residuals_and_jacobian, fit.theta,
+        n_points=args.n_points, span=args.span, config=fit_cfg)
+    jax.block_until_ready(prof.costs)
+    wall = time.perf_counter() - t0
+
+    ci = confidence_intervals(prof, level=args.level)
+    status = np.asarray(prof.status)
+    print(json.dumps({
+        "model": args.model, "free_params": len(free),
+        "grid_points": int(prof.values.shape[1]),
+        "wall_seconds": round(wall, 1),
+        "fit_cost": float(fit.cost),
+        "unconverged_points": int((status <= 0).sum()),
+        "level": args.level,
+    }))
+    theta_hat = np.asarray(fit.theta)
+    for p, name in enumerate(free):
+        lo, hi = ci[p]
+        lo_s = f"{np.exp(lo):.4g}" if np.isfinite(lo) else "-inf"
+        hi_s = f"{np.exp(hi):.4g}" if np.isfinite(hi) else "+inf"
+        flag = "" if np.isfinite(lo) and np.isfinite(hi) else \
+            "  [non-identifiable within span]"
+        print(f"  {name:>16s}: {np.exp(theta_hat[p]):.6g}  "
+              f"CI [{lo_s}, {hi_s}]{flag}")
+    if args.out:
+        np.savez(args.out, idx=prof.idx, values=np.asarray(prof.values),
+                 costs=np.asarray(prof.costs),
+                 thetas=np.asarray(prof.thetas),
+                 status=status, cost_opt=float(prof.cost_opt), ci=ci,
+                 free=np.asarray(free))
+        print(f"profile curves saved to {args.out}", file=sys.stderr)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="tpusysbio")
     parser.add_argument("--cpu", action="store_true",
@@ -347,6 +421,32 @@ def main(argv=None):
     p_ms.add_argument("--plot", default=None, metavar="PREFIX",
                       help="save PREFIX_waterfall.png + PREFIX_fit.png")
     p_ms.set_defaults(fn=cmd_multistart)
+
+    p_pl = sub.add_parser(
+        "profile",
+        help="profile-likelihood identifiability analysis on a canonical "
+             "config (fit, then profile every free parameter)")
+    p_pl.add_argument("--model", default="mm3",
+                      choices=list(_FREE_PARAMS.keys()))
+    p_pl.add_argument("--n-points", type=int, default=6,
+                      help="grid points per direction")
+    p_pl.add_argument("--span", type=float, default=1.0,
+                      help="profile half-width in log space")
+    p_pl.add_argument("--level", type=float, default=0.95,
+                      help="confidence level for the LR intervals")
+    p_pl.add_argument("--fit-iters", type=int, default=40)
+    p_pl.add_argument("--noise", type=float, default=0.02)
+    p_pl.add_argument("--seed", type=int, default=0)
+    p_pl.add_argument("--t-end", type=float, default=10.0)
+    p_pl.add_argument("--n-times", type=int, default=12)
+    p_pl.add_argument("--rtol", type=float, default=1e-6)
+    p_pl.add_argument("--atol", type=float, default=1e-9)
+    p_pl.add_argument("--max-steps", type=int, default=512)
+    p_pl.add_argument("--linear-solver", default="pallas",
+                      choices=["lu", "inv", "inv32", "pallas"])
+    p_pl.add_argument("--out", default=None,
+                      help="save profile curves to .npz")
+    p_pl.set_defaults(fn=cmd_profile)
 
     args = parser.parse_args(argv)
     if args.cpu:
