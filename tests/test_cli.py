@@ -102,7 +102,8 @@ def test_profile_cli_reports_cis(tmp_path, capsys):
     out = str(tmp_path / "prof.npz")
     cli.main(["profile", "--model", "mm3", "--n-points", "3", "--span",
               "0.5", "--t-end", "10", "--n-times", "6", "--fit-iters",
-              "60", "--linear-solver", "inv32", "--out", out])
+              "60", "--linear-solver", "inv32", "--out", out,
+              "--plot", str(tmp_path / "pl")])
     captured = capsys.readouterr().out.strip().splitlines()
     rec = json.loads(captured[0])
     assert rec["model"] == "mm3" and rec["grid_points"] == 7
@@ -114,4 +115,5 @@ def test_profile_cli_reports_cis(tmp_path, capsys):
     assert np.all(np.isfinite(data["costs"]))
     center = data["costs"][:, 3]
     assert np.all(data["costs"].min(axis=1) >= center * (1 - 1e-4))
+    assert os.path.exists(str(tmp_path / "pl_profiles.png"))
     assert data["ci"].shape == (4, 2)

@@ -115,3 +115,25 @@ def test_plot_waterfall():
     assert fig.axes[0].get_ylabel() == "final cost"
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_plot_profiles():
+    import jax.numpy as jnp
+    from tpusysbio.fit import profile_likelihood
+
+    target = jnp.asarray([1.0, -2.0])
+    sigma = jnp.asarray([0.5, 2.0])
+
+    def r_fn(th):
+        return (th - target) / sigma
+
+    def rj_fn(th):
+        return r_fn(th), jnp.diag(1.0 / sigma)
+
+    prof = profile_likelihood(r_fn, rj_fn, target, n_points=3, span=5.0,
+                              config=FitConfig(max_iter=20))
+    fig = viz.plot_profiles(prof, names=["k1", "k2"])
+    assert len([a for a in fig.axes if a.axison]) == 2
+    assert fig.axes[0].get_title() == "k1"
+    import matplotlib.pyplot as plt
+    plt.close(fig)

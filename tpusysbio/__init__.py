@@ -25,7 +25,9 @@ reference delegates to):
 - regularized/robust fitting: log-normal parameter and scale-factor
   priors (``project.priors``), scipy-parity robust losses for TRF
   (``optim.loss``), condition-group parameter sharing
-  (``ParameterMap(grouped=...)``), and plotting (``viz``).
+  (``ParameterMap(grouped=...)``), and plotting (``viz``),
+- post-fit identifiability: profile likelihood as vmapped warm-started
+  chains with likelihood-ratio confidence intervals (``fit.profile``).
 
 Nothing here imports from the reference; the TPU compute path is
 JAX/XLA/Pallas throughout (XLA/Mosaic is the native layer on TPU).

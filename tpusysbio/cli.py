@@ -348,6 +348,12 @@ def cmd_profile(args):
                  status=status, cost_opt=float(prof.cost_opt), ci=ci,
                  free=np.asarray(free))
         print(f"profile curves saved to {args.out}", file=sys.stderr)
+    if args.plot:
+        from tpusysbio import viz
+
+        viz.plot_profiles(prof, names=free, level=args.level).savefig(
+            f"{args.plot}_profiles.png", dpi=110)
+        print(f"plot saved to {args.plot}_profiles.png", file=sys.stderr)
 
 
 def main(argv=None):
@@ -446,6 +452,8 @@ def main(argv=None):
                       choices=["lu", "inv", "inv32", "pallas"])
     p_pl.add_argument("--out", default=None,
                       help="save profile curves to .npz")
+    p_pl.add_argument("--plot", default=None, metavar="PREFIX",
+                      help="save PREFIX_profiles.png")
     p_pl.set_defaults(fn=cmd_profile)
 
     args = parser.parse_args(argv)

@@ -149,3 +149,46 @@ def plot_waterfall(results, top: Optional[int] = None, ax=None):
     ax.legend(fontsize=8)
     fig.tight_layout()
     return fig
+
+
+def plot_profiles(prof, names=None, level: float = 0.95, ncols: int = 3):
+    """Profile-likelihood panels (one per profiled parameter).
+
+    ``prof`` is a :class:`tpusysbio.fit.ProfileResult`. Each panel draws
+    the re-optimized cost curve over the pinned value, the optimum
+    (center) marker, and the likelihood-ratio threshold line
+    ``cost* + 0.5·χ²₁(level)`` — the curve's crossings ARE the CI bounds
+    (fit/profile.py:confidence_intervals); a curve that never reaches the
+    line inside the window reads as non-identifiable at a glance.
+
+    Returns the matplotlib Figure.
+    """
+    from scipy.stats import chi2
+
+    plt = _mpl()
+    values = np.asarray(prof.values, dtype=float)
+    costs = np.asarray(prof.costs, dtype=float)
+    n_p, n_grid = costs.shape
+    center = n_grid // 2
+    thr = float(prof.cost_opt) + 0.5 * chi2.ppf(level, df=1)
+    ncols = min(ncols, n_p)
+    nrows = (n_p + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(3.4 * ncols, 2.6 * nrows),
+                             squeeze=False)
+    for p in range(n_p):
+        ax = axes[p // ncols][p % ncols]
+        ax.plot(values[p], costs[p], ".-", ms=4, lw=0.9)
+        ax.plot(values[p, center], costs[p, center], "o", ms=6,
+                mfc="none", color="C1")
+        ax.axhline(thr, lw=0.8, ls="--", color="0.4")
+        name = (names[p] if names is not None
+                else f"theta[{int(prof.idx[p])}]")
+        ax.set_title(name, fontsize=9)
+        ax.set_xlabel("pinned value (log space)", fontsize=8)
+        ax.tick_params(labelsize=7)
+    for q in range(n_p, nrows * ncols):
+        axes[q // ncols][q % ncols].axis("off")
+    axes[0][0].set_ylabel("profile cost", fontsize=8)
+    fig.tight_layout()
+    return fig
