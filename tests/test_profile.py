@@ -131,9 +131,10 @@ def test_profile_subset_and_mesh():
     sigma = jnp.asarray([0.5, 2.0, 1.0, 0.25])
     r_fn, rj_fn = _quadratic_fns(target, sigma)
     mesh = make_mesh()  # conftest fakes 8 CPU devices
-    if 8 % (2 * 4) != 0:
-        pytest.skip("chain axis not divisible")
-    res = profile_likelihood(r_fn, rj_fn, target, idx=[0, 1, 2, 3],
+    idx = [0, 1, 2, 3]
+    if (2 * len(idx)) % mesh.devices.size != 0:
+        pytest.skip("chain axis not divisible by mesh size")
+    res = profile_likelihood(r_fn, rj_fn, target, idx=idx,
                              n_points=3, span=1.0, mesh=mesh,
                              config=FitConfig(max_iter=30))
     assert res.costs.shape == (4, 7)

@@ -34,7 +34,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpusysbio.config import FitConfig
-from tpusysbio.optim.lm import lm_fit
+from tpusysbio.optim.lm import lm_init, lm_run
 
 
 class ProfileResult(NamedTuple):
@@ -100,8 +100,13 @@ def profile_likelihood(
             r, J = residual_and_jac_fn(pin(th))
             return r, J * (1.0 - onehot)[None, :]
 
-        res = lm_fit(r_fn, rj_fn, pin(theta_start), config)
-        return pin(res.theta), res.cost, res.status
+        # lm_init + lm_run, NOT lm_fit: lm_finish's covariance solve
+        # (JᵀJ)⁻¹ is guaranteed singular here (the pinned column is masked
+        # to zero) and the scan only carries theta/cost/status, so the
+        # per-grid-point G×G factor+G-RHS solve would be pure waste.
+        st = lm_init(rj_fn, pin(theta_start), config)
+        st = lm_run(r_fn, rj_fn, st, config)
+        return pin(st.theta), st.cost, st.status
 
     def chain(onehot, d, sgn):
         center = jnp.sum(theta_opt * onehot)
@@ -166,31 +171,57 @@ def confidence_intervals(result: ProfileResult, level: float = 0.95):
     too-narrow window).
 
     Returns ``(P, 2)`` array of [lower, upper] bounds in θ space.
+
+    The LR reference is ``min(cost_opt, costs.min())`` — warm-started
+    pinned re-fits can dip marginally below the nominally-optimal center
+    cost, and measuring Δcost against the best cost actually seen keeps
+    the profile non-negative without a clip that would hide a stale
+    optimum. A ``UserWarning`` is emitted when any grid point on a crossed
+    segment has LM status ≤ 0 (unconverged — the interpolated bound may be
+    spuriously narrow).
     """
+    import warnings
+
     from scipy.stats import chi2
 
     values = np.asarray(result.values)
     costs = np.asarray(result.costs)
-    w = np.sqrt(2.0 * np.clip(costs - float(result.cost_opt), 0.0, None))
+    status = np.asarray(result.status)
+    ref_cost = min(float(result.cost_opt), float(costs.min()))
+    w = np.sqrt(2.0 * np.clip(costs - ref_cost, 0.0, None))
     w_thr = float(np.sqrt(chi2.ppf(level, df=1)))
     n_p, n_grid = costs.shape
     center = n_grid // 2
     out = np.empty((n_p, 2))
+
+    def _check_converged(p, j0, j1, side):
+        if status[p, j0] <= 0 or status[p, j1] <= 0:
+            warnings.warn(
+                f"profile CI for parameter row {p} ({side} bound): a grid "
+                "point on the crossed segment did not converge (LM status "
+                "<= 0); the interpolated bound may be spuriously narrow.",
+                UserWarning, stacklevel=2)
+
     for p in range(n_p):
         lo, hi = -np.inf, np.inf
-        # walk right from the center for the upper bound
+        # walk right from the center for the upper bound; the last grid
+        # pair accepts a crossing landing exactly on the endpoint
         for j in range(center, n_grid - 1):
             w0, w1 = w[p, j], w[p, j + 1]
-            if w0 <= w_thr < w1:
-                f = (w_thr - w0) / (w1 - w0)
+            last = j == n_grid - 2
+            if w0 <= w_thr and (w_thr < w1 or (last and w_thr <= w1)):
+                f = (w_thr - w0) / (w1 - w0) if w1 > w0 else 1.0
                 hi = values[p, j] + f * (values[p, j + 1] - values[p, j])
+                _check_converged(p, j, j + 1, "upper")
                 break
         # walk left for the lower bound
         for j in range(center, 0, -1):
             w0, w1 = w[p, j], w[p, j - 1]
-            if w0 <= w_thr < w1:
-                f = (w_thr - w0) / (w1 - w0)
+            last = j == 1
+            if w0 <= w_thr and (w_thr < w1 or (last and w_thr <= w1)):
+                f = (w_thr - w0) / (w1 - w0) if w1 > w0 else 1.0
                 lo = values[p, j] + f * (values[p, j - 1] - values[p, j])
+                _check_converged(p, j, j - 1, "lower")
                 break
         out[p] = (lo, hi)
     return out

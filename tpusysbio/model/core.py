@@ -61,9 +61,15 @@ class OdeModel:
             raise ValueError("state_names length mismatch")
 
     def simulate(self, p, t_span, t_eval, solver: str = "bdf",
-                 config: Optional[SolverConfig] = None):
+                 config: Optional[SolverConfig] = None, events=None):
         """Forward trajectory at ``t_eval`` (reference ``model.simulate``,
-        SURVEY.md §3.2). Returns an ``IntegrateResult``."""
+        SURVEY.md §3.2). Returns an ``IntegrateResult``.
+
+        ``events``: optional :class:`tpusysbio.solvers.EventSpec` for
+        state-dependent event detection (scipy ``solve_ivp(events=…)``
+        parity, ``scipy/integrate/_ivp/ivp.py:29-158``); supported by the
+        ``bdf`` solver. The event functions receive ``(t, y)``; close over
+        ``p`` for parameter-dependent thresholds."""
         from tpusysbio import solvers
 
         config = config or SolverConfig()
@@ -72,8 +78,9 @@ class OdeModel:
         y0 = self.y0(p)
         jac = (None if self.rhs_jac is None
                else (lambda t, y: self.rhs_jac(t, y, p.astype(y.dtype))))
+        kw = {} if events is None else dict(events=events)
         return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
-                  y0, t_eval, config=config, jac=jac)
+                  y0, t_eval, config=config, jac=jac, **kw)
 
     def simulate_sensitivities(self, p, t_span, t_eval, solver: str = "bdf",
                                config: Optional[SolverConfig] = None):

@@ -23,6 +23,8 @@ from tpusysbio.solvers.common import (  # noqa: F401
     STATUS_TOO_SMALL_STEP,
     STATUS_NONFINITE,
     STATUS_MAX_STEPS,
+    STATUS_EVENT,
+    EventSpec,
     IntegrateResult,
 )
 from tpusysbio.solvers.adams import adams_solve  # noqa: F401

@@ -135,6 +135,11 @@ class _BDFState(NamedTuple):
     njev: jax.Array
     nlu: jax.Array
     order_hist: jax.Array     # (MAX_ORDER+1,) accepted steps per order
+    # event channel (zero-size when no EventSpec is given)
+    g_old: jax.Array          # (E,) event values at the accepted point
+    ev_t: jax.Array           # (E, K) recorded event times (+inf unfilled)
+    ev_y: jax.Array           # (E, K, n) states at the recorded times
+    ev_count: jax.Array       # (E,) int32 occurrence counts
 
 
 def bdf_solve(
@@ -146,6 +151,7 @@ def bdf_solve(
     sens_rhs: Optional[Callable] = None,
     s0: Optional[jax.Array] = None,
     jac: Optional[Callable] = None,
+    events: Optional[common.EventSpec] = None,
 ) -> IntegrateResult:
     """Integrate ``dy/dt = f(t, y)`` from t_span[0] to t_span[1] (forward).
 
@@ -161,6 +167,13 @@ def bdf_solve(
         sensitivities. Requires ``s0`` of shape (n, m).
       jac: optional analytic state Jacobian ``(t, y) -> (n, n)``
         (closed-form mass-action fast path); jacfwd otherwise.
+      events: optional :class:`~tpusysbio.solvers.common.EventSpec` —
+        state-dependent event detection ``g(t, y) = 0`` with per-event
+        direction/terminal semantics (scipy ``solve_ivp(events=…)``
+        contract, ``scipy/integrate/_ivp/ivp.py:29-158``), root-found by
+        in-loop bisection on the dense-output polynomial after each
+        accepted step. Fills ``event_t``/``event_y``/``event_count`` on
+        the result; a terminal event stops with ``STATUS_EVENT``.
 
     Returns an ``IntegrateResult`` with ``ys`` (T, n), ``sens`` (T, n, m).
     """
@@ -307,6 +320,24 @@ def bdf_solve(
     def i32(v):
         return jnp.asarray(v, jnp.int32)
 
+    # --- event channel setup (EventSpec; zero-size arrays when unused so
+    #     the state pytree and compiled program are unchanged) ---
+    if events is not None:
+        g0 = jnp.atleast_1d(jnp.asarray(events.fn(t0, y0), dtype))
+        n_ev = g0.shape[0]
+        ev_cap = int(events.capacity)
+        ev_dir = jnp.asarray(
+            events.direction if events.direction else (0,) * n_ev,
+            jnp.int32)
+        ev_term = jnp.asarray(
+            events.terminal if events.terminal else (False,) * n_ev)
+        if ev_dir.shape != (n_ev,) or ev_term.shape != (n_ev,):
+            raise ValueError("EventSpec direction/terminal length must "
+                             "match the event vector length")
+    else:
+        g0 = jnp.zeros((0,), dtype)
+        n_ev, ev_cap = 0, 1
+
     state = _BDFState(
         t=t0, h_abs=h0, order=i32(1), D=D0, J=J0, fact=fact0,
         lu_valid=jnp.asarray(False), current_jac=jnp.asarray(False),
@@ -317,6 +348,10 @@ def bdf_solve(
         nfev=i32(1 + (0 if config.first_step is not None else 2)),
         njev=i32(1), nlu=i32(0),
         order_hist=jnp.zeros((MAX_ORDER + 1,), jnp.int32),
+        g_old=g0,
+        ev_t=jnp.full((n_ev, ev_cap), jnp.inf, dtype),
+        ev_y=jnp.zeros((n_ev, ev_cap, n), dtype),
+        ev_count=jnp.zeros((n_ev,), jnp.int32),
     )
 
     def cond(st: _BDFState):
@@ -603,13 +638,90 @@ def bdf_solve(
                               Dp[1:MAX_ORDER + 1].astype(cdt))
             return Dp[0][None] + corr.astype(dt)
 
+        # --- state-dependent events (EventSpec; scipy solve_ivp events,
+        #     ivp.py:29-158): after an accepted step, detect a sign change
+        #     of g across [t, t_new] per scipy's find_active_events
+        #     (ivp.py:98-123) honoring per-event direction, bisect each
+        #     fired event's root on the just-built dense-output polynomial
+        #     (static iteration count — the brentq analogue,
+        #     solve_event_equation ivp.py:29-60), and record into the
+        #     static (E, K) buffers. A fired terminal event stops the
+        #     integration AT the event time (handle_events ivp.py:126-158):
+        #     later t_eval points stay unfilled and the D anchor row is
+        #     rewritten to the interpolated column block so y_final is
+        #     y(t_event). ---
+        if events is not None:
+            def y_at(tv):
+                # state column of the current-step dense output at time tv
+                return interp_part(D_new[0], tv[None])[0, :, 0].astype(dtype)
+
+            y_new_state = Y_new[0][:, 0].astype(dtype)
+            g_new = jnp.atleast_1d(jnp.asarray(
+                events.fn(t_new, y_new_state), dtype))
+            up = (st.g_old <= 0) & (g_new >= 0)
+            down = (st.g_old >= 0) & (g_new <= 0)
+            trig = jnp.where(ev_dir > 0, up,
+                             jnp.where(ev_dir < 0, down, up | down))
+            fired = accept & trig
+
+            def find_roots():
+                def bis(_, carry):
+                    lo, hi, glo = carry
+                    mid = 0.5 * (lo + hi)
+                    ys_mid = jax.vmap(y_at)(mid)              # (E, n)
+                    gm = jax.vmap(lambda tm, ym: jnp.atleast_1d(
+                        jnp.asarray(events.fn(tm, ym), dtype)))(mid, ys_mid)
+                    g_mid = jnp.diagonal(gm)                  # event e at its own mid
+                    same = (jnp.sign(g_mid) == jnp.sign(glo)) & (g_mid != 0.0)
+                    return (jnp.where(same, mid, lo),
+                            jnp.where(same, hi, mid),
+                            jnp.where(same, g_mid, glo))
+
+                lo0 = jnp.full((n_ev,), t, dtype)
+                hi0 = jnp.full((n_ev,), t_new, dtype)
+                _, hi, _ = lax.fori_loop(0, int(events.bisect_iters), bis,
+                                         (lo0, hi0, st.g_old))
+                return hi
+
+            t_root = lax.cond(jnp.any(fired), find_roots,
+                              lambda: jnp.full((n_ev,), t_new, dtype))
+            t_root = jnp.where(fired, t_root, jnp.asarray(jnp.inf, dtype))
+            # earliest terminal root ends the integration there; later
+            # occurrences (of any event) are discarded (ivp.py:148-155)
+            t_term = jnp.min(jnp.where(fired & ev_term, t_root,
+                                       jnp.asarray(jnp.inf, dtype)))
+            has_term = jnp.isfinite(t_term)
+            rec = fired & (t_root <= t_term)
+            slot = jnp.clip(st.ev_count, 0, ev_cap - 1)
+            can_store = rec & (st.ev_count < ev_cap)
+            t_root_safe = jnp.where(jnp.isfinite(t_root), t_root, t_new)
+            ys_root = jax.vmap(y_at)(t_root_safe)             # (E, n)
+            er = jnp.arange(n_ev)
+            ev_t = st.ev_t.at[er, slot].set(
+                jnp.where(can_store, t_root, st.ev_t[er, slot]))
+            ev_y = st.ev_y.at[er, slot].set(
+                jnp.where(can_store[:, None], ys_root, st.ev_y[er, slot]))
+            ev_count = st.ev_count + rec.astype(jnp.int32)
+            g_old_new = jnp.where(accept, g_new, st.g_old)
+            t_term_safe = jnp.where(has_term, t_term, t_new)
+            Y_term = bmap(
+                lambda Dp, i: interp_part(Dp, t_term_safe[None])[0], D_new)
+            D_new = bmap(lambda Dp, Yt, i: Dp.at[0].set(
+                jnp.where(has_term, Yt, Dp[0])), D_new, Y_term)
+            t_fill_hi = t_term_safe
+        else:
+            has_term = jnp.asarray(False)
+            t_fill_hi = t_new
+            ev_t, ev_y, ev_count = st.ev_t, st.ev_y, st.ev_count
+            g_old_new = st.g_old
+
         with jax.named_scope("bdf.dense_output"):
             ys_acc = bmap(
                 lambda Dp, acc, i: jnp.where(
                     accept,
                     common.interp_accumulate(
-                        t_eval, t, t_new, lambda tv: interp_part(Dp, tv),
-                        acc),
+                        t_eval, t, t_fill_hi,
+                        lambda tv: interp_part(Dp, tv), acc),
                     acc),
                 D_new, st.ys_acc)
 
@@ -619,6 +731,10 @@ def bdf_solve(
             done, STATUS_DONE,
             jnp.where(nsteps >= config.max_steps, STATUS_MAX_STEPS,
                       STATUS_RUNNING)).astype(jnp.int32)
+        if events is not None:
+            status = jnp.where(has_term, common.STATUS_EVENT,
+                               status).astype(jnp.int32)
+            t_next = jnp.where(has_term, t_term_safe, t_next)
 
         new_st = _BDFState(
             t=t_next, h_abs=h_new, order=order_new, D=D_new, J=J, fact=fact,
@@ -629,7 +745,8 @@ def bdf_solve(
             nrejected=st.nrejected + jnp.where(reject | case_C, 1, 0),
             nfev=nfev, njev=njev, nlu=nlu,
             order_hist=st.order_hist.at[order].add(
-                jnp.where(accept, 1, 0)))
+                jnp.where(accept, 1, 0)),
+            g_old=g_old_new, ev_t=ev_t, ev_y=ev_y, ev_count=ev_count)
 
         # a fatal underflow freezes the state (failed members are masked
         # out downstream, never aborting a vmapped batch)
@@ -646,8 +763,13 @@ def bdf_solve(
         sens = final.ys_acc[0][:, :, 1:]
     y_final = jnp.concatenate(
         [Dp[0].astype(dtype) for Dp in final.D], axis=1)
+    ev_kw = {}
+    if events is not None:
+        ev_kw = dict(event_t=final.ev_t, event_y=final.ev_y,
+                     event_count=final.ev_count)
     return IntegrateResult(
         ys=ys, sens=sens, status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,
         nfev=final.nfev, njev=final.njev, nlu=final.nlu,
-        order_hist=final.order_hist, t_final=final.t, y_final=y_final)
+        order_hist=final.order_hist, t_final=final.t, y_final=y_final,
+        **ev_kw)

@@ -26,11 +26,53 @@ STATUS_NONFINITE = 3        # RHS produced non-finite values (bdf.py:44-45 analo
 STATUS_MAX_STEPS = 4        # step budget exhausted (lockstep safety net)
 STATUS_SS_FAIL = 5          # algebraic steady-state Newton did not converge
 STATUS_STIFF = 6            # explicit stepper detected stiffness (handoff)
+STATUS_EVENT = 7            # a terminal event fired (successful stop, like
+                            # scipy solve_ivp status=1, ivp.py:590-596)
 
 
 def rms_norm(x: jax.Array) -> jax.Array:
     """sqrt(mean(x^2)) over all elements (common.py:63-65)."""
     return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+class EventSpec(NamedTuple):
+    """State-dependent events ``g(t, y) = 0`` (scipy ``solve_ivp(events=…)``
+    contract, ``scipy/integrate/_ivp/ivp.py:29-158``), TPU-native form.
+
+    The reference detects a sign change of each event function across every
+    accepted step and locates the root on the dense output with ``brentq``,
+    appending to Python lists and honoring ``terminal``/``direction``
+    attributes. Here the same contract is expressed with static shapes so
+    it lives inside the jitted ``lax.while_loop`` and vmaps over ensembles
+    (heterogeneous events via parameters closed over in ``fn``):
+
+    - ``fn(t, y) -> (E,)`` evaluates ALL event functions at once (one
+      vector instead of a list of callables — E is static).
+    - roots are located by in-loop bisection on the stepper's dense-output
+      polynomial (static iteration count; |interval| shrinks by 2^-iters,
+      48 iterations ≈ f64-exact for any realistic step size).
+    - occurrences are recorded into a static ``(E, capacity)`` buffer;
+      ``event_count`` says how many are valid (extras beyond capacity are
+      counted but not stored — no dynamic allocation in jit).
+    - a fired terminal event stops integration at the event time with
+      status ``STATUS_EVENT``; ``t_eval`` points past it stay unfilled,
+      and ``y_final`` is the interpolated column block at the event time.
+
+    Attributes:
+      fn: ``(t, y) -> (E,)`` event values; must follow ``y``'s dtype.
+      direction: per-event trigger direction, +1 (g rising through 0),
+        -1 (falling), 0 (either) — scipy ``event.direction`` semantics.
+      terminal: per-event bool, stop integration at the first occurrence
+        (scipy ``event.terminal``).
+      capacity: max recorded occurrences per event (static buffer width).
+      bisect_iters: static bisection iteration count per detection.
+    """
+
+    fn: object
+    direction: tuple = ()
+    terminal: tuple = ()
+    capacity: int = 8
+    bisect_iters: int = 48
 
 
 class IntegrateResult(NamedTuple):
@@ -59,10 +101,18 @@ class IntegrateResult(NamedTuple):
     # with the BDF stepper from here instead of restarting at t0.
     t_final: jax.Array = None
     y_final: jax.Array = None
+    # Event channel (EventSpec; scipy solve_ivp t_events/y_events analogue,
+    # ivp.py:597-613): static (E, K) time buffer (+inf = unfilled slot),
+    # (E, K, n) states at the event times, (E,) occurrence counts.
+    event_t: jax.Array = None
+    event_y: jax.Array = None
+    event_count: jax.Array = None
 
     @property
     def success(self):
-        return self.status == STATUS_DONE
+        # a terminal-event stop is a successful termination, matching
+        # scipy solve_ivp status=1 (ivp.py:746-753)
+        return (self.status == STATUS_DONE) | (self.status == STATUS_EVENT)
 
 
 def select_initial_step(f, t0, y0, f0, t_bound, max_step, rtol, atol, order):

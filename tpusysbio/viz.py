@@ -170,7 +170,11 @@ def plot_profiles(prof, names=None, level: float = 0.95, ncols: int = 3):
     costs = np.asarray(prof.costs, dtype=float)
     n_p, n_grid = costs.shape
     center = n_grid // 2
-    thr = float(prof.cost_opt) + 0.5 * chi2.ppf(level, df=1)
+    # LR reference = best cost actually seen (matches
+    # fit/profile.py:confidence_intervals — warm-started re-fits can dip
+    # marginally below the nominal optimum)
+    ref_cost = min(float(prof.cost_opt), float(costs.min()))
+    thr = ref_cost + 0.5 * chi2.ppf(level, df=1)
     ncols = min(ncols, n_p)
     nrows = (n_p + ncols - 1) // ncols
     fig, axes = plt.subplots(nrows, ncols,
