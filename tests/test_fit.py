@@ -749,3 +749,63 @@ def test_trf_robust_loss_validation_and_linear_default():
                   FitConfig(max_iter=200), loss="linear", f_scale=2.0)
     np.testing.assert_array_equal(np.asarray(base.theta),
                                   np.asarray(lin.theta))
+
+
+def test_multistart_trf_iter_chunked_matches_plain():
+    """The TRF state is a resumable pytree: iter-chunked bounded
+    multi-start reproduces the single-execution path bit-for-bit."""
+    from tpusysbio.fit.multistart import multistart_trf
+
+    rng = np.random.default_rng(5)
+    starts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(6, 2)))
+    lb = jnp.asarray([-2.0, -2.0])
+    ub = jnp.asarray([0.8, 2.0])   # optimum (1,1) outside: bound active
+    cfg = FitConfig(max_iter=60)
+    a = multistart_trf(_rosenbrock_residuals, _rosenbrock_rj, starts,
+                       lb, ub, cfg)
+    b = multistart_trf(_rosenbrock_residuals, _rosenbrock_rj, starts,
+                       lb, ub, cfg, iter_chunk=7)
+    np.testing.assert_array_equal(np.asarray(a.cost), np.asarray(b.cost))
+    np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+    # bounds honored by every member
+    assert np.all(np.asarray(a.theta) <= np.asarray(ub)[None, :] + 1e-12)
+
+
+def test_two_phase_bounded_polish():
+    """LM screen + bounded TRF polish (the shape multistart_trf's
+    docstring promises): bounds are enforced on the polished members, and
+    the ranked polish costs match an unsharded multistart_trf run on the
+    same screened top_k — on the fake 8-device mesh with iter-chunking,
+    i.e. the full production path (VERDICT r4 item 3)."""
+    from tpusysbio.fit.multistart import (
+        TwoPhaseDriver,
+        multistart_trf,
+    )
+
+    rng = np.random.default_rng(9)
+    starts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(16, 2)))
+    lb = jnp.asarray([-2.0, -2.0])
+    ub = jnp.asarray([0.8, 2.0])   # unconstrained optimum (1,1) infeasible
+    screen_cfg = FitConfig(max_iter=6, ftol=1e-3, xtol=1e-3)
+    polish_cfg = FitConfig(max_iter=60)
+    fns = (_rosenbrock_residuals, _rosenbrock_rj)
+    mesh = Mesh(np.array(jax.devices()), ("starts",))
+
+    driver = TwoPhaseDriver(
+        fns, fns, screen_cfg, polish_cfg, top_k=8, mesh=mesh,
+        iter_chunk=5, polish_bounds=(lb, ub))
+    polish, screen, _ = driver.run(starts)
+
+    th = np.asarray(polish.theta)
+    assert np.all(th <= np.asarray(ub)[None, :] + 1e-12)
+    assert np.all(th >= np.asarray(lb)[None, :] - 1e-12)
+    assert np.all(np.asarray(polish.status) > 0)
+
+    # reference: unsharded bounded fits from the SAME screened top_k
+    order = np.argsort(np.where(np.asarray(screen.status) < 0, np.inf,
+                                np.asarray(screen.cost)), kind="stable")
+    top = jnp.asarray(np.asarray(screen.theta)[order[:8]])
+    ref = multistart_trf(*fns, top, lb, ub, polish_cfg)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(polish.cost)), np.sort(np.asarray(ref.cost)),
+        rtol=1e-10)

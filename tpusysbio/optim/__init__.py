@@ -9,4 +9,9 @@ over multi-start ensembles. Termination semantics follow
 """
 
 from tpusysbio.optim.lm import FitResult, lm_fit  # noqa: F401
-from tpusysbio.optim.trf import trf_fit  # noqa: F401
+from tpusysbio.optim.trf import (  # noqa: F401
+    trf_fit,
+    trf_finish,
+    trf_init,
+    trf_run,
+)

@@ -44,6 +44,7 @@ class _TRFState(NamedTuple):
     nfev: jax.Array
     njev: jax.Array
     grad_norm: jax.Array
+    cost_trace: jax.Array     # (max_iter,) accepted-cost history
 
 
 def _cl_scaling(x, g, lb, ub):
@@ -57,6 +58,92 @@ def _cl_scaling(x, g, lb, ub):
     v = jnp.where(pos, x - lb, v)
     dv = jnp.where(pos, 1.0, dv)
     return v, dv
+
+
+def _interior_fn(lb, ub):
+    def interior(x):
+        span = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
+        pad = 1e-10 * jnp.maximum(1.0, jnp.abs(span))
+        x = jnp.where(jnp.isfinite(lb), jnp.maximum(x, lb + pad), x)
+        x = jnp.where(jnp.isfinite(ub), jnp.minimum(x, ub - pad), x)
+        return x
+
+    return interior
+
+
+def _eval_fns(residual_fn, residual_and_jac_fn, loss, f_scale):
+    cost_fn, scale_fn = make_loss(loss, f_scale)
+
+    def eval_rj(x):
+        r, J = residual_and_jac_fn(x)
+        bad = ~(jnp.all(jnp.isfinite(r)) & jnp.all(jnp.isfinite(J)))
+        c = 0.5 * jnp.sum(r * r) if cost_fn is None else cost_fn(r)
+        if scale_fn is not None:
+            r, J = scale_fn(r, J)
+        return r, J, c, bad
+
+    def eval_r(x):
+        if residual_fn is None:
+            return None
+        r = residual_fn(x)
+        c = 0.5 * jnp.sum(r * r) if cost_fn is None else cost_fn(r)
+        return c, jnp.all(jnp.isfinite(r))
+
+    return eval_rj, eval_r
+
+
+def trf_init(
+    residual_and_jac_fn: Callable,
+    theta0: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    config: FitConfig = FitConfig(),
+    loss: str = "linear",
+    f_scale: float = 1.0,
+) -> _TRFState:
+    """Evaluate the initial point into a resumable TRF state pytree —
+    same contract as ``optim.lm.lm_init`` (checkpointable, advanceable in
+    bounded chunks via ``trf_run``), which is what lets the two-phase
+    multi-start driver run a BOUNDED polish under ``iter_chunk``."""
+    dtype = theta0.dtype
+    lb = jnp.asarray(lower, dtype)
+    ub = jnp.asarray(upper, dtype)
+    interior = _interior_fn(lb, ub)
+    eval_rj, _ = _eval_fns(None, residual_and_jac_fn, loss, f_scale)
+
+    x0 = interior(theta0)
+    r0, J0, cost0, bad0 = eval_rj(x0)
+
+    def i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    g0 = J0.T @ r0
+    v0, _ = _cl_scaling(x0, g0, lb, ub)
+    return _TRFState(
+        x=x0, r=r0, J=J0, cost=cost0,
+        lam=jnp.asarray(config.lam0, dtype), nu=jnp.asarray(2.0, dtype),
+        status=jnp.where(bad0, i32(-1), i32(0)), done=bad0,
+        n_iter=i32(0), nfev=i32(0), njev=i32(1),
+        grad_norm=jnp.max(jnp.abs(v0 * g0)),
+        cost_trace=jnp.full((config.max_iter,), cost0, dtype))
+
+
+def trf_finish(state: _TRFState) -> FitResult:
+    """Assemble a FitResult incl. the covariance channel (JᵀJ)⁻¹ at the
+    final iterate — mirrors ``lm_finish``; for a robust loss the stored J
+    is the robust-rescaled Jacobian, so (JᵀJ)⁻¹ is the Gauss-Newton
+    curvature of the robust objective (the right error-bar matrix)."""
+    J, r = state.J, state.r
+    m, p = J.shape
+    cov = _lu.lu_solve(_lu.lu_factor(J.T @ J), jnp.eye(p, dtype=J.dtype))
+    s_sq = (2.0 * state.cost / (m - p)) if m > p else jnp.asarray(
+        jnp.inf, J.dtype)
+    param_sigma = jnp.sqrt(jnp.clip(jnp.diag(cov), 0.0, None) * s_sq)
+    return FitResult(
+        theta=state.x, cost=state.cost, grad_norm=state.grad_norm,
+        status=state.status, n_iter=state.n_iter, nfev=state.nfev,
+        njev=state.njev, cost_trace=state.cost_trace,
+        cov=cov, param_sigma=param_sigma)
 
 
 def trf_fit(
@@ -95,53 +182,44 @@ def trf_fit(
       head in bench/experiments/trf_subproblem_bench.py — see
       docs/PERFORMANCE.md.
     """
+    state = trf_init(residual_and_jac_fn, theta0, lower, upper, config,
+                     loss=loss, f_scale=f_scale)
+    state = trf_run(residual_fn, residual_and_jac_fn, state, lower, upper,
+                    config, subproblem=subproblem, loss=loss,
+                    f_scale=f_scale)
+    final = trf_finish(state)
+    # the historical trf_fit contract returned no covariance channel;
+    # keep it now that trf_finish provides one (callers ignore extras)
+    return final
+
+
+def trf_run(
+    residual_fn: Callable,
+    residual_and_jac_fn: Callable,
+    state: _TRFState,
+    lower: jax.Array,
+    upper: jax.Array,
+    config: FitConfig = FitConfig(),
+    iter_cap=None,
+    subproblem: str = "normal",
+    loss: str = "linear",
+    f_scale: float = 1.0,
+) -> _TRFState:
+    """Advance TRF until done or ``state.n_iter`` reaches ``iter_cap``."""
     if subproblem not in ("normal", "svd"):
         raise ValueError(f"unknown subproblem {subproblem!r}; "
                          "expected 'normal' or 'svd'")
-    dtype = theta0.dtype
+    dtype = state.x.dtype
     eps = jnp.finfo(dtype).eps
     lb = jnp.asarray(lower, dtype)
     ub = jnp.asarray(upper, dtype)
-
-    def interior(x):
-        span = jnp.where(jnp.isfinite(ub - lb), ub - lb, 1.0)
-        pad = 1e-10 * jnp.maximum(1.0, jnp.abs(span))
-        x = jnp.where(jnp.isfinite(lb), jnp.maximum(x, lb + pad), x)
-        x = jnp.where(jnp.isfinite(ub), jnp.minimum(x, ub - pad), x)
-        return x
-
-    cost_fn, scale_fn = make_loss(loss, f_scale)
-
-    def eval_rj(x):
-        r, J = residual_and_jac_fn(x)
-        bad = ~(jnp.all(jnp.isfinite(r)) & jnp.all(jnp.isfinite(J)))
-        c = 0.5 * jnp.sum(r * r) if cost_fn is None else cost_fn(r)
-        if scale_fn is not None:
-            r, J = scale_fn(r, J)
-        return r, J, c, bad
-
-    def eval_r(x):
-        r = residual_fn(x)
-        c = 0.5 * jnp.sum(r * r) if cost_fn is None else cost_fn(r)
-        return c, jnp.all(jnp.isfinite(r))
-
-    x0 = interior(theta0)
-    r0, J0, cost0, bad0 = eval_rj(x0)
-
-    def i32(v):
-        return jnp.asarray(v, jnp.int32)
-
-    g0 = J0.T @ r0
-    v0, _ = _cl_scaling(x0, g0, lb, ub)
-    state = _TRFState(
-        x=x0, r=r0, J=J0, cost=cost0,
-        lam=jnp.asarray(config.lam0, dtype), nu=jnp.asarray(2.0, dtype),
-        status=jnp.where(bad0, i32(-1), i32(0)), done=bad0,
-        n_iter=i32(0), nfev=i32(0), njev=i32(1),
-        grad_norm=jnp.max(jnp.abs(v0 * g0)))
+    cap = config.max_iter if iter_cap is None else iter_cap
+    interior = _interior_fn(lb, ub)
+    eval_rj, eval_r = _eval_fns(residual_fn, residual_and_jac_fn, loss,
+                                f_scale)
 
     def cond(st: _TRFState):
-        return ~st.done & (st.n_iter < config.max_iter)
+        return ~st.done & (st.n_iter < cap)
 
     def body(st: _TRFState) -> _TRFState:
         g = st.J.T @ st.r
@@ -225,10 +303,10 @@ def trf_fit(
             x=x_new, r=r_new, J=J_new, cost=cost_new,
             lam=lam_new, nu=nu_new, status=status, done=status > 0,
             n_iter=st.n_iter + 1, nfev=st.nfev + 1, njev=njev,
-            grad_norm=g_norm)
+            grad_norm=g_norm,
+            cost_trace=st.cost_trace.at[st.n_iter].set(cost_new))
 
-    final = lax.while_loop(cond, body, state)
-    return FitResult(
-        theta=final.x, cost=final.cost, grad_norm=final.grad_norm,
-        status=final.status, n_iter=final.n_iter, nfev=final.nfev,
-        njev=final.njev)
+    return lax.while_loop(cond, body, state)
+
+
+TRFState = _TRFState
