@@ -159,11 +159,19 @@ def test_petab_validation_errors(tmp_path):
         from_petab(yaml_path)
     open(cond_bad, "w").write(goodc)
 
+    # estimating a non-model parameter is now ALLOWED (output parameter,
+    # appended to the model vector) — but estimating one inside a
+    # noiseFormula still raises (noise estimation unsupported)
+    obs_noise = os.path.join(base, "observables.tsv")
+    open(obs_noise, "w").write(good.replace("P\t0.01", "P\tsigma_p"))
     par_bad = os.path.join(base, "parameters.tsv")
     goodp = open(par_bad).read()
-    open(par_bad, "w").write(goodp.replace("k1\tlog10\t1", "zzz\tlog10\t1"))
-    with pytest.raises(PetabError):  # estimating a non-model parameter
+    open(par_bad, "w").write(
+        goodp + "sigma_p\tlog10\t0.001\t1\t0.01\t1\t\t\n")
+    with pytest.raises(PetabError):
         from_petab(yaml_path)
+    open(obs_noise, "w").write(good)
+    open(par_bad, "w").write(goodp)
 
 
 def test_petab_bounded_multistart(tmp_path):
@@ -191,3 +199,165 @@ def test_petab_bounded_multistart(tmp_path):
     th = np.asarray(out.theta)
     assert (th <= prob.ub[None, :] + 1e-12).all()
     assert (th >= prob.lb[None, :] - 1e-12).all()
+
+
+# ---------------------------------------------------------------------------
+# Widened subset (VERDICT r4 item 6): observableParameters placeholders
+# (incl. ESTIMATED output parameters, the Boehm-class scaling pattern),
+# observableTransformation log10, noiseParameter placeholders, and
+# condition-table species overrides.
+# ---------------------------------------------------------------------------
+
+SCALE_TRUE = 2.5
+OFFSET = 0.05
+
+
+def _scipy_mm(p, y0, t):
+    """Independent trajectory oracle (scipy BDF at tight tolerance)."""
+    from scipy.integrate import solve_ivp
+
+    k1, km1, k2, e0 = p
+
+    def rhs(tt, y):
+        s, c, prod = y
+        bind = k1 * (e0 - c) * s
+        return [-bind + km1 * c, bind - (km1 + k2) * c, k2 * c]
+
+    sol = solve_ivp(rhs, (0.0, float(t[-1])), y0, method="BDF",
+                    t_eval=t, rtol=1e-10, atol=1e-12)
+    return sol.y.T  # (T, 3)
+
+
+def _make_widened_problem(tmp_path):
+    """Boehm-style mini problem: estimated scaling placeholder, log10
+    observable, per-row noise placeholders, species override."""
+    t = np.asarray([0.25, 0.5, 1.0, 2.0, 4.0])
+    p_true = [30.0, 10.0, 5.0]
+    rows = ["observableId\tsimulationConditionId\tmeasurement\ttime"
+            "\tobservableParameters\tnoiseParameters"]
+    # c_a: default y0 (S=1); c_b: species override S=0.5 AND E0=0.6
+    for cid, e0, s0 in (("c_a", 0.2, 1.0), ("c_b", 0.6, 0.5)):
+        traj = _scipy_mm(p_true + [e0], [s0, 0.0, 0.0], t)
+        sc = SCALE_TRUE * traj[:, 2] + OFFSET     # scale_p * P + offset
+        tot = traj[:, 0] + traj[:, 1]             # S + C (log10 observable)
+        for ti, v in zip(t, sc):
+            rows.append(f"obs_sc\t{cid}\t{v:.12f}\t{ti}"
+                        f"\tscale_p;{OFFSET}\t0.01")
+        for ti, v in zip(t, tot):
+            rows.append(f"obs_tot\t{cid}\t{v:.12f}\t{ti}\t\t")
+
+    sbml = _mm_sbml(tmp_path)
+    _write(tmp_path, "conditions.tsv", """
+        conditionId\tE0\tS
+        c_a\t0.2\t
+        c_b\t0.6\t0.5
+    """)
+    _write(tmp_path, "observables.tsv", """
+        observableId\tobservableFormula\tobservableTransformation\tnoiseFormula
+        obs_sc\tobservableParameter1_obs_sc * P + observableParameter2_obs_sc\tlin\tnoiseParameter1_obs_sc
+        obs_tot\tS + C\tlog10\t0.02
+    """)
+    _write(tmp_path, "measurements.tsv", "\n".join(rows) + "\n")
+    _write(tmp_path, "parameters.tsv", """
+        parameterId\tparameterScale\tlowerBound\tupperBound\tnominalValue\testimate
+        k1\tlog10\t1\t100\t20\t1
+        km1\tlog10\t0.1\t100\t5\t1
+        k2\tlog10\t0.1\t50\t2\t1
+        scale_p\tlog10\t0.1\t20\t1.5\t1
+        E0\tlin\t\t\t0.2\t0
+    """)
+    return _write(tmp_path, "problem.yaml", """
+        format_version: 1
+        parameter_file: parameters.tsv
+        problems:
+          - sbml_files: [model.xml]
+            condition_files: [conditions.tsv]
+            observable_files: [observables.tsv]
+            measurement_files: [measurements.tsv]
+    """)
+
+
+def test_petab_widened_assembles(tmp_path):
+    prob = from_petab(_make_widened_problem(tmp_path),
+                      config=SolverConfig(rtol=1e-8, atol=1e-10))
+    # estimated output parameter appended to the model vector
+    assert prob.x_ids == ("k1", "km1", "k2", "scale_p")
+    assert prob.model.n_params == 5
+    assert prob.model.param_names[-1] == "scale_p"
+    # two expanded observables
+    assert prob.obs_labels == (f"obs_sc[scale_p;{OFFSET}]", "obs_tot")
+    # species override packed into the batch
+    assert bool(prob.batch.has_y0_over)
+    y0m = np.asarray(prob.batch.y0_mask)
+    assert y0m[0].sum() == 0 and y0m[1, 0] and y0m[1, 1:].sum() == 0
+    np.testing.assert_allclose(np.asarray(prob.batch.y0_vals)[1, 0], 0.5)
+    # the dynamics ignore the appended output parameter
+    y = jnp.asarray([0.4, 0.1, 0.2])
+    p5 = jnp.asarray([30.0, 10.0, 5.0, 0.2, SCALE_TRUE])
+    obs = np.asarray(prob.model.observables(y, p5))
+    np.testing.assert_allclose(obs[0], SCALE_TRUE * 0.2 + OFFSET,
+                               rtol=1e-12)
+    np.testing.assert_allclose(obs[1], np.log10(0.5), rtol=1e-12)
+
+
+def test_petab_widened_residuals_and_fit(tmp_path):
+    """Noise-free synthetic data from the scipy oracle: residuals vanish
+    at the truth; a bounded fit from a perturbed start recovers the
+    kinetic parameters AND the estimated scaling factor."""
+    from tpusysbio.fit.multistart import multistart_trf
+
+    prob = from_petab(_make_widened_problem(tmp_path),
+                      config=SolverConfig(rtol=1e-9, atol=1e-11))
+    theta_true = jnp.log(jnp.asarray([30.0, 10.0, 5.0, SCALE_TRUE]))
+    r = jax.jit(prob.project.residuals)(theta_true)
+    assert bool(jnp.all(jnp.isfinite(r)))
+    # rtol=1e-9 solver vs 1e-10 oracle on sigma >= 0.01 rows
+    assert float(jnp.max(jnp.abs(r))) < 1e-3
+
+    # manual check of one log10 residual row: (log10 sim - log10 meas)/sig
+    ev = prob.project.evaluate(theta_true)
+    assert float(ev.cost) < 1e-6
+
+    start = theta_true + jnp.asarray([0.4, -0.3, 0.2, -0.5])
+    fit = jax.jit(lambda th: trf_fit(
+        prob.project.residuals, prob.project.residuals_and_jacobian, th,
+        jnp.asarray(prob.lb), jnp.asarray(prob.ub),
+        FitConfig(max_iter=80)))(start)
+    assert int(fit.status) > 0
+    np.testing.assert_allclose(np.asarray(fit.theta),
+                               np.asarray(theta_true), atol=2e-3)
+
+    # bounded multistart end-to-end (the PEtab -> fleet path)
+    starts = prob.sample_startpoints(jax.random.PRNGKey(0), 4)
+    out = multistart_trf(prob.project.residuals,
+                         prob.project.residuals_and_jacobian, starts,
+                         prob.lb, prob.ub, FitConfig(max_iter=60))
+    assert float(out.best().cost) < 1e-5
+
+
+def test_petab_widened_validation(tmp_path):
+    yaml_path = _make_widened_problem(tmp_path)
+    base = os.path.dirname(yaml_path)
+
+    # placeholder/value count mismatch
+    meas = os.path.join(base, "measurements.tsv")
+    good = open(meas).read()
+    open(meas, "w").write(good.replace(f"scale_p;{OFFSET}", "scale_p"))
+    with pytest.raises(PetabError):
+        from_petab(yaml_path)
+    open(meas, "w").write(good)
+
+    # non-positive measurement under log10 transformation
+    bad = good.replace("obs_tot\tc_a\t", "obs_tot\tc_a\t-", 1)
+    open(meas, "w").write(bad)
+    with pytest.raises(PetabError):
+        from_petab(yaml_path)
+    open(meas, "w").write(good)
+
+    # unknown condition column (neither parameter nor species)
+    cond = os.path.join(base, "conditions.tsv")
+    goodc = open(cond).read()
+    open(cond, "w").write(goodc.replace("\tS\n", "\tcompartmentX\n"))
+    with pytest.raises(PetabError):
+        from_petab(yaml_path)
+    open(cond, "w").write(goodc)

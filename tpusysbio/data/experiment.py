@@ -106,6 +106,12 @@ class Experiment:
     preequilibrate: bool = False
     # basal-condition overrides for the pre-equilibration solve
     preeq_params: dict = dataclasses.field(default_factory=dict)
+    # initial-VALUE overrides: state name -> value, applied after
+    # ``model.y0(p)`` (and after pre-equilibration — PEtab condition-table
+    # species-override semantics: non-overridden species keep the preeq
+    # steady state, overridden ones reset). The overridden species'
+    # sensitivity initial condition is zero (a constant start).
+    y0_overrides: dict = dataclasses.field(default_factory=dict)
 
     def all_times(self) -> np.ndarray:
         ts = np.unique(np.concatenate(
@@ -191,6 +197,13 @@ class ExperimentBatch:
     preeq_vals: Optional[jax.Array] = None
     has_preeq: bool = dataclasses.field(metadata=dict(static=True),
                                         default=False)
+    # Initial-value overrides (``Experiment.y0_overrides``):
+    #   y0_mask: (E, n) bool — state overridden in this experiment
+    #   y0_vals: (E, n) override values where y0_mask
+    y0_mask: Optional[jax.Array] = None
+    y0_vals: Optional[jax.Array] = None
+    has_y0_over: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=False)
 
     @property
     def n_experiments(self) -> int:
@@ -212,12 +225,15 @@ class ExperimentBatch:
     def from_experiments(experiments: Sequence[Experiment],
                          dtype=jnp.float64,
                          param_names: Optional[Sequence[str]] = None,
+                         state_names: Optional[Sequence[str]] = None,
                          ) -> "ExperimentBatch":
         """Pad & pack host-side experiments into one static batch.
 
         ``param_names`` (the model's parameter order) is required when any
         experiment declares timed ``inputs`` or ``preequilibrate`` — those
-        override model parameters by name."""
+        override model parameters by name. ``state_names`` (the model's
+        state order) is required when any experiment declares
+        ``y0_overrides``."""
         E = len(experiments)
         grids = [e.all_times() for e in experiments]
         T = max(g.shape[0] for g in grids)
@@ -331,6 +347,28 @@ class ExperimentBatch:
                 preeq_vals=jnp.asarray(preeq_vals, dtype),
                 has_preeq=True)
 
+        y0_kwargs = {}
+        if any(exp.y0_overrides for exp in experiments):
+            if state_names is None:
+                raise ValueError(
+                    "experiments with y0_overrides need state_names= "
+                    "(the model's state order)")
+            n = len(state_names)
+            sname_idx = {s: i for i, s in enumerate(state_names)}
+            y0_mask = np.zeros((E, n), dtype=bool)
+            y0_vals = np.zeros((E, n))
+            for e_i, exp in enumerate(experiments):
+                for sname, val in exp.y0_overrides.items():
+                    if sname not in sname_idx:
+                        raise ValueError(
+                            f"experiment {exp.name!r}: unknown state "
+                            f"{sname!r} in y0_overrides")
+                    y0_mask[e_i, sname_idx[sname]] = True
+                    y0_vals[e_i, sname_idx[sname]] = float(val)
+            y0_kwargs = dict(y0_mask=jnp.asarray(y0_mask),
+                             y0_vals=jnp.asarray(y0_vals, dtype),
+                             has_y0_over=True)
+
         return ExperimentBatch(
             t_eval=jnp.asarray(t_eval, dtype), t0=jnp.asarray(t0, dtype),
             t_end=jnp.asarray(t_end, dtype),
@@ -340,4 +378,5 @@ class ExperimentBatch:
             group=jnp.asarray(group), mask=jnp.asarray(mask),
             m_is_ss=jnp.asarray(m_is_ss),
             n_groups=len(group_names), group_names=tuple(group_names),
-            has_steady=bool(m_is_ss.any()), **seg_kwargs, **preeq_kwargs)
+            has_steady=bool(m_is_ss.any()), **seg_kwargs, **preeq_kwargs,
+            **y0_kwargs)

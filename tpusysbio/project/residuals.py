@@ -159,7 +159,7 @@ class Project:
         return f, jac, sens_rhs
 
     def _sim_one(self, p_e, t0, t_end, t_eval, has_ss, with_sens: bool,
-                 C_e=None, segs=None, preeq=None):
+                 C_e=None, segs=None, preeq=None, y0_over=None):
         """Simulate one experiment. With ``C_e`` (P, G) — the parameter
         chain dp/dθ — sensitivities are propagated directly in θ space
         (G columns); otherwise in model-parameter space (P columns).
@@ -215,6 +215,17 @@ class Project:
                     s_pre = s_pre @ C_e
                 s0 = jnp.where(pre_flag, s_pre, s0)
             preeq_status_fail = pre_flag & ~ss0.converged
+
+        if y0_over is not None:
+            # initial-VALUE overrides (PEtab condition-table species
+            # columns): applied after y0(p) AND after pre-equilibration —
+            # non-overridden species keep the preeq steady state,
+            # overridden ones reset to the condition's value. A constant
+            # start has zero parameter sensitivity.
+            yo_mask, yo_vals = y0_over
+            y0 = jnp.where(yo_mask, yo_vals, y0)
+            if with_sens:
+                s0 = s0 * (~yo_mask)[:, None].astype(s0.dtype)
 
         if segs is None:
             f, jac, sens_rhs = self._make_seg_fns(p_e, C_e, None,
@@ -388,6 +399,8 @@ class Project:
             args += [b.seg_bounds, b.seg_mask, b.seg_vals]
         if b.has_preeq:
             args += [b.preeq, b.preeq_mask, b.preeq_vals]
+        if b.has_y0_over:
+            args += [b.y0_mask, b.y0_vals]
 
         def sim_fn(*a):
             i = 5
@@ -396,9 +409,11 @@ class Project:
             segs = tuple(a[i:i + 3]) if has_segs else None
             i += 3 * int(has_segs)
             preeq = tuple(a[i:i + 3]) if b.has_preeq else None
+            i += 3 * int(b.has_preeq)
+            y0_over = tuple(a[i:i + 2]) if b.has_y0_over else None
             return self._sim_one(a[0], a[1], a[2], a[3], a[4],
                                  with_sens=with_jac, C_e=C_e, segs=segs,
-                                 preeq=preeq)
+                                 preeq=preeq, y0_over=y0_over)
 
         (obs_traj, obs_sens, obs_ss, obs_ss_sens, status,
          nsteps) = jax.vmap(sim_fn)(*args)
