@@ -155,6 +155,101 @@ def test_heterogeneous_schedules_vmap():
 
 
 # ----------------------------------------------------------------------
+# Timed STATE assignments (bolus dose / reset) — Experiment.input_states
+# ----------------------------------------------------------------------
+
+def _bolus_project(n_t=8):
+    """Inflow model with a BOLUS at t=3 (y1 SET to 5.0) plus a washout
+    clamp v=0.1 at t=5 — mixed parameter + state timed inputs in ONE
+    experiment. Data = SciPy piecewise with a hard state reset (zero
+    noise), so residuals are exactly (sim_jax - sim_scipy)."""
+    model = _inflow_model()
+    p = np.array([2.0, 0.5, 1.0, 0.25])
+    p_wash = p.copy()
+    p_wash[0] = 0.1
+    t = np.linspace(0.5, 8.0, n_t)
+
+    def rhs_np(tt, y, pp):
+        return [pp[0] - pp[1] * y[0], pp[2] * y[0] - pp[3] * y[1]]
+
+    ys = np.zeros((n_t, 2))
+    y = np.array([0.2, 0.2])
+    for t_lo, t_hi, pp, reset in [(0.0, 3.0, p, None),
+                                  (3.0, 5.0, p, 5.0),
+                                  (5.0, 8.0, p_wash, None)]:
+        if reset is not None:
+            y = y.copy()
+            y[0] = reset
+        pts = sorted({float(x) for x in t if t_lo < x <= t_hi} | {t_hi})
+        sol = solve_ivp(lambda tt, yy: rhs_np(tt, yy, pp), (t_lo, t_hi),
+                        y, method="BDF", t_eval=pts, rtol=1e-10,
+                        atol=1e-13)
+        assert sol.success
+        for k, tk in enumerate(t):
+            if t_lo < tk <= t_hi:
+                ys[k] = sol.y[:, pts.index(float(tk))]
+        y = sol.y[:, -1]
+
+    meas = tuple(
+        Measurement(obs_index=i, times=t, values=ys[:, i],
+                    sigmas=np.ones(n_t)) for i in range(2))
+    exps = [Experiment("bolus", meas,
+                       inputs=((5.0, "v", 0.1),),
+                       input_states=((3.0, "y1", 5.0),))]
+    batch = ExperimentBatch.from_experiments(
+        exps, param_names=model.param_names,
+        state_names=model.state_names)
+    pmap = ParameterMap.create(model.param_names, 1,
+                               shared=model.param_names)
+    proj = Project(model=model, pmap=pmap, batch=batch, config=TIGHT)
+    theta = pmap.pack({"v": 2.0, "d1": 0.5, "k": 1.0, "d2": 0.25})
+    return proj, theta
+
+
+def test_input_states_validation():
+    m = Measurement(obs_index=0, times=np.array([1.0, 5.0]),
+                    values=np.zeros(2), sigmas=np.ones(2))
+    # a state jump at t0 is just a different y0 — rejected
+    with pytest.raises(ValueError, match="input_states times"):
+        Experiment("bad", (m,),
+                   input_states=((0.0, "y1", 1.0),)).event_times()
+    ok = Experiment("ok", (m,), input_states=((2.0, "y1", 1.0),))
+    np.testing.assert_allclose(ok.event_times(), [2.0])
+    with pytest.raises(ValueError, match="state_names"):
+        ExperimentBatch.from_experiments(
+            [ok], param_names=("v", "d1", "k", "d2"))
+    with pytest.raises(ValueError, match="unknown state"):
+        ExperimentBatch.from_experiments(
+            [Experiment("zz", (m,), input_states=((2.0, "nope", 1.0),))],
+            param_names=("v", "d1", "k", "d2"),
+            state_names=("y1", "y2"))
+
+
+def test_bolus_trajectory_matches_scipy():
+    proj, theta = _bolus_project()
+    r = np.asarray(jax.jit(proj.residuals)(theta))
+    assert np.max(np.abs(r)) < 1e-6
+
+
+def test_bolus_jacobian_matches_fd():
+    """The bolus resets y1's sensitivity rows to zero at t=3 (a constant
+    has no parameter dependence) while y2's columns chain through; FD of
+    the residual function is the oracle for both effects. atol absorbs
+    the FD noise floor (~1e-8 here: O(10) residuals integrated at
+    rtol=1e-9, differenced at eps=1e-6)."""
+    proj, theta = _bolus_project()
+    r, J = jax.jit(proj.residuals_and_jacobian)(theta)
+    res_fn = jax.jit(proj.residuals)
+    eps = 1e-6
+    for g in range(proj.n_theta):
+        d = jnp.zeros(proj.n_theta).at[g].set(eps)
+        fd = (np.asarray(res_fn(theta + d))
+              - np.asarray(res_fn(theta - d))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(J[:, g]), fd, rtol=2e-5,
+                                   atol=1e-7)
+
+
+# ----------------------------------------------------------------------
 # Pre-equilibration
 # ----------------------------------------------------------------------
 
@@ -172,7 +267,7 @@ def _inflow_model():
     return OdeModel(
         name="inflow2", n_states=2, n_params=4, n_obs=2,
         rhs=rhs, y0=y0, observables=lambda y, p: y,
-        param_names=("v", "d1", "k", "d2"))
+        param_names=("v", "d1", "k", "d2"), state_names=("y1", "y2"))
 
 
 def _preeq_project(n_t=7):

@@ -330,3 +330,150 @@ def test_sbml_export_validation():
         to_sbml(net, {"A": 1.0, "nope": 2.0})
     with pytest.raises(ValueError):
         to_sbml(net, [1.0, 0.0], p=[1.0, 2.0])  # wrong p length
+
+
+# ----------------------------------------------------------------------
+# SBML events with constant-time triggers -> timed-input lowering
+# ----------------------------------------------------------------------
+
+_T_CSYM = ('<csymbol encoding="text" definitionURL='
+           '"http://www.sbml.org/sbml/symbols/time">t</csymbol>')
+
+EVENT_SBML = f"""<?xml version="1.0" encoding="UTF-8"?>
+<sbml xmlns="http://www.sbml.org/sbml/level2/version4" level="2" version="4">
+ <model id="dosed">
+  <listOfCompartments>
+   <compartment id="cell" size="1"/>
+  </listOfCompartments>
+  <listOfSpecies>
+   <species id="A" compartment="cell" initialConcentration="1"/>
+  </listOfSpecies>
+  <listOfParameters>
+   <parameter id="kdeg" value="0.3"/>
+   <parameter id="inflow" value="0" constant="false"/>
+  </listOfParameters>
+  <listOfReactions>
+   <reaction id="prod" reversible="false">
+    <listOfProducts><speciesReference species="A"/></listOfProducts>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML"><ci>inflow</ci></math>
+    </kineticLaw>
+   </reaction>
+   <reaction id="deg" reversible="false">
+    <listOfReactants><speciesReference species="A"/></listOfReactants>
+    <kineticLaw>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><times/><ci>kdeg</ci><ci>A</ci></apply>
+     </math>
+    </kineticLaw>
+   </reaction>
+  </listOfReactions>
+  <listOfEvents>
+   <event id="dose">
+    <trigger>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><geq/>{_T_CSYM}<cn>2</cn></apply>
+     </math>
+    </trigger>
+    <listOfEventAssignments>
+     <eventAssignment variable="A">
+      <math xmlns="http://www.w3.org/1998/Math/MathML"><cn>4</cn></math>
+     </eventAssignment>
+    </listOfEventAssignments>
+   </event>
+   <event id="feed">
+    <trigger>
+     <math xmlns="http://www.w3.org/1998/Math/MathML">
+      <apply><geq/>{_T_CSYM}<cn>1.5</cn></apply>
+     </math>
+    </trigger>
+    <listOfEventAssignments>
+     <eventAssignment variable="inflow">
+      <math xmlns="http://www.w3.org/1998/Math/MathML"><cn>1.5</cn></math>
+     </eventAssignment>
+    </listOfEventAssignments>
+   </event>
+  </listOfEvents>
+ </model>
+</sbml>
+"""
+
+
+def test_sbml_events_default_still_raises():
+    with pytest.raises(SbmlUnsupportedError, match="events"):
+        from_sbml(EVENT_SBML)
+
+
+def test_sbml_event_lowering_records():
+    model, p0, lowered = from_sbml(EVENT_SBML, events="lower")
+    assert model.param_names == ("kdeg", "inflow")
+    assert model.state_names == ("A",)
+    np.testing.assert_allclose(p0, (0.3, 0.0))
+    assert lowered == (("state", 2.0, "A", 4.0),
+                       ("param", 1.5, "inflow", 1.5))
+
+
+def test_sbml_event_lowering_simulates_to_scipy_parity():
+    """An SBML model with a dosing event (species SET) and a feed event
+    (parameter SET), lowered onto Experiment.inputs/input_states,
+    simulates to 1e-6 parity vs SciPy piecewise with hard restarts
+    (spec the reference meets with solve_ivp events,
+    scipy/integrate/_ivp/ivp.py:29-158)."""
+    from scipy.integrate import solve_ivp
+
+    from tpusysbio.data import Experiment, ExperimentBatch, Measurement
+    from tpusysbio.project import ParameterMap, Project
+
+    model, p0, lowered = from_sbml(EVENT_SBML, events="lower")
+    inputs = tuple((t, tgt, v) for kind, t, tgt, v in lowered
+                   if kind == "param")
+    input_states = tuple((t, tgt, v) for kind, t, tgt, v in lowered
+                         if kind == "state")
+
+    # SciPy oracle: dA/dt = inflow - kdeg*A with restarts at 1.5 and 2
+    t = np.linspace(0.5, 6.0, 8)
+    ys = np.zeros(8)
+    y = np.array([1.0])
+    for t_lo, t_hi, infl, dose in [(0.0, 1.5, 0.0, None),
+                                   (1.5, 2.0, 1.5, None),
+                                   (2.0, 6.0, 1.5, 4.0)]:
+        if dose is not None:
+            y = np.array([dose])
+        pts = sorted({float(x) for x in t if t_lo < x <= t_hi} | {t_hi})
+        sol = solve_ivp(lambda tt, yy: [infl - 0.3 * yy[0]],
+                        (t_lo, t_hi), y, method="BDF", t_eval=pts,
+                        rtol=1e-10, atol=1e-13)
+        assert sol.success
+        for k, tk in enumerate(t):
+            if t_lo < tk <= t_hi:
+                ys[k] = sol.y[0, pts.index(float(tk))]
+        y = sol.y[:, -1]
+
+    meas = (Measurement(obs_index=0, times=t, values=ys,
+                        sigmas=np.ones(8)),)
+    exps = [Experiment("dosed", meas, inputs=inputs,
+                       input_states=input_states)]
+    batch = ExperimentBatch.from_experiments(
+        exps, param_names=model.param_names,
+        state_names=model.state_names)
+    pmap = ParameterMap.create(model.param_names, 1, shared=("kdeg",),
+                               fixed={"inflow": [0.0]})
+    proj = Project(model=model, pmap=pmap, batch=batch,
+                   config=SolverConfig(rtol=1e-9, atol=1e-12))
+    theta = pmap.pack({"kdeg": 0.3})
+    import jax
+    r = np.asarray(jax.jit(proj.residuals)(theta))
+    assert np.max(np.abs(r)) < 1e-6
+
+
+def test_sbml_state_dependent_event_still_raises():
+    bad = EVENT_SBML.replace(_T_CSYM, "<ci>A</ci>", 1)
+    with pytest.raises(SbmlUnsupportedError, match="constant-time"):
+        from_sbml(bad, events="lower")
+    # non-constant assignment value
+    bad2 = EVENT_SBML.replace(
+        '<math xmlns="http://www.w3.org/1998/Math/MathML"><cn>4</cn></math>',
+        '<math xmlns="http://www.w3.org/1998/Math/MathML"><ci>kdeg</ci>'
+        '</math>')
+    with pytest.raises(SbmlUnsupportedError, match="not a"):
+        from_sbml(bad2, events="lower")

@@ -103,6 +103,13 @@ class Experiment:
     t0: float = 0.0
     # timed perturbations: ((time, param_name, value), ...)
     inputs: Tuple[Tuple[float, str, float], ...] = ()
+    # timed STATE assignments: ((time, state_name, value), ...) — at the
+    # segment boundary starting at ``time`` the named state is SET to the
+    # constant value (a bolus dose / reset; SBML event-assignment to a
+    # species with a constant-time trigger lowers to this). Applied once
+    # at that boundary; the assigned state's sensitivity rows reset to
+    # zero there (a constant has no parameter dependence).
+    input_states: Tuple[Tuple[float, str, float], ...] = ()
     preequilibrate: bool = False
     # basal-condition overrides for the pre-equilibration solve
     preeq_params: dict = dataclasses.field(default_factory=dict)
@@ -122,15 +129,25 @@ class Experiment:
     def event_times(self) -> np.ndarray:
         """Distinct input times strictly inside (t0, t_end) — the segment
         boundaries. Inputs at exactly ``t0`` modify segment 0 and add no
-        boundary; inputs at/after the horizon are rejected."""
-        if not self.inputs:
+        boundary; inputs at/after the horizon are rejected. State
+        assignments (``input_states``) must lie strictly inside (a state
+        jump at t0 is just a different y0)."""
+        if not self.inputs and not self.input_states:
             return np.zeros(0)
         t_end = float(self.all_times()[-1])
-        ts = np.unique([float(t) for t, _, _ in self.inputs])
-        if (ts < self.t0).any() or (ts >= t_end).any():
+        ts = np.unique([float(t) for t, _, _ in self.inputs]) \
+            if self.inputs else np.zeros(0)
+        if ts.size and ((ts < self.t0).any() or (ts >= t_end).any()):
             raise ValueError(
                 f"experiment {self.name!r}: input times must lie in "
                 f"[t0={self.t0}, t_end={t_end})")
+        tss = np.unique([float(t) for t, _, _ in self.input_states]) \
+            if self.input_states else np.zeros(0)
+        if tss.size and ((tss <= self.t0).any() or (tss >= t_end).any()):
+            raise ValueError(
+                f"experiment {self.name!r}: input_states times must lie "
+                f"strictly inside (t0={self.t0}, t_end={t_end})")
+        ts = np.unique(np.concatenate([ts, tss]))
         return ts[ts > self.t0]
 
 
@@ -189,6 +206,12 @@ class ExperimentBatch:
     seg_vals: Optional[jax.Array] = None
     n_segments: int = dataclasses.field(metadata=dict(static=True),
                                         default=1)
+    # timed STATE assignments (``Experiment.input_states``): at the start
+    # of segment s, states are SET where masked (one-shot, not forward-
+    # filled — unlike parameter clamps)
+    #   seg_y0_mask: (E, S, n) bool / seg_y0_vals: (E, S, n)
+    seg_y0_mask: Optional[jax.Array] = None
+    seg_y0_vals: Optional[jax.Array] = None
     # Pre-equilibration (``Experiment.preequilibrate``):
     #   preeq:      (E,) bool — y0 = steady state under basal parameters
     #   preeq_mask: (E, P) bool / preeq_vals: (E, P) basal overrides
@@ -282,12 +305,18 @@ class ExperimentBatch:
                     j += 1
 
         # --- timed perturbations -> static segments --------------------
-        any_inputs = any(exp.inputs for exp in experiments)
+        any_inputs = any(exp.inputs or exp.input_states
+                         for exp in experiments)
+        any_state_inputs = any(exp.input_states for exp in experiments)
         any_preeq = any(exp.preequilibrate for exp in experiments)
         if (any_inputs or any_preeq) and param_names is None:
             raise ValueError(
                 "experiments with timed inputs or preequilibrate need "
                 "param_names= (the model's parameter order)")
+        if any_state_inputs and state_names is None:
+            raise ValueError(
+                "experiments with input_states need state_names= "
+                "(the model's state order)")
         seg_kwargs = {}
         if any_inputs:
             P = len(param_names)
@@ -297,6 +326,11 @@ class ExperimentBatch:
             seg_bounds = np.zeros((E, S + 1))
             seg_mask = np.zeros((E, S, P), dtype=bool)
             seg_vals = np.zeros((E, S, P))
+            if any_state_inputs:
+                n = len(state_names)
+                sname_idx = {s: i for i, s in enumerate(state_names)}
+                seg_y0_mask = np.zeros((E, S, n), dtype=bool)
+                seg_y0_vals = np.zeros((E, S, n))
             for e_i, exp in enumerate(experiments):
                 ev = events[e_i]
                 bounds = np.concatenate(
@@ -316,11 +350,25 @@ class ExperimentBatch:
                     active = bounds[:-1] >= float(t_in) - 1e-12
                     seg_mask[e_i, active, j] = True
                     seg_vals[e_i, active, j] = float(val)
+                # one-shot state assignments at their own boundary
+                for t_in, sname, val in exp.input_states:
+                    if sname not in sname_idx:
+                        raise ValueError(
+                            f"experiment {exp.name!r}: unknown state "
+                            f"{sname!r} in input_states")
+                    k = int(np.argmin(np.abs(bounds[:-1] - float(t_in))))
+                    assert abs(bounds[k] - float(t_in)) < 1e-12
+                    seg_y0_mask[e_i, k, sname_idx[sname]] = True
+                    seg_y0_vals[e_i, k, sname_idx[sname]] = float(val)
             seg_kwargs = dict(
                 seg_bounds=jnp.asarray(seg_bounds, dtype),
                 seg_mask=jnp.asarray(seg_mask),
                 seg_vals=jnp.asarray(seg_vals, dtype),
                 n_segments=S)
+            if any_state_inputs:
+                seg_kwargs.update(
+                    seg_y0_mask=jnp.asarray(seg_y0_mask),
+                    seg_y0_vals=jnp.asarray(seg_y0_vals, dtype))
         preeq_kwargs = {}
         if any_preeq:
             P = len(param_names)

@@ -28,11 +28,21 @@ Supported SBML core subset (Level 2 and Level 3 documents):
   ``<csymbol>`` time, and numeric ``<cn>`` forms (real, integer,
   e-notation, rational).
 
+SBML events: with ``events="lower"``, events whose trigger is a CONSTANT
+time comparison (``time >= c``) and whose assignments set parameters or
+species to constant values are auto-lowered onto the native
+static-segment machinery — :func:`from_sbml` then returns the lowered
+records, which map 1:1 onto ``Experiment.inputs`` (parameter targets)
+and ``Experiment.input_states`` (species targets). Genuinely
+state-dependent triggers (``S < c``), parameter-dependent trigger times,
+non-constant assignment expressions, and delays raise
+``SbmlUnsupportedError`` (use the BDF solver's ``EventSpec`` root-finding
+for state-dependent protocols).
+
 NOT supported (raise ``SbmlUnsupportedError`` rather than silently
-mis-simulating): algebraic rules, events (use
-``tpusysbio.data.Experiment`` timed inputs for dose/stimulus protocols),
-non-constant compartments, stoichiometryMath, ``delay`` csymbols, and
-conversionFactor attributes.
+mis-simulating): algebraic rules, events under the default
+``events="raise"``, non-constant compartments, stoichiometryMath,
+``delay`` csymbols, and conversionFactor attributes.
 
 Semantics follow the SBML spec: a species symbol inside MathML refers to
 its *concentration* unless ``hasOnlySubstanceUnits`` is set, kinetic laws
@@ -222,22 +232,33 @@ class _MathML:
         return sp.Piecewise(*pairs)
 
 
-def from_sbml(source: str, name: Optional[str] = None) -> OdeModel:
+def from_sbml(source: str, name: Optional[str] = None,
+              events: str = "raise") -> OdeModel:
     """Build an :class:`OdeModel` from an SBML document.
 
     Args:
       source: path to an ``.xml``/``.sbml`` file, or the document text
         itself (detected by a leading ``<``).
       name: model name override (defaults to the SBML model id).
+      events: ``"raise"`` (default — any ``<event>`` raises) or
+        ``"lower"`` — events with constant-time triggers and constant
+        assignments are lowered to timed-input records (see below);
+        anything else still raises.
 
     Returns:
-      ``(model, p0)``: an ``OdeModel`` whose parameter vector is
-      ``global params + lifted local params + boundary/constant species``
-      in document order (see module docstring), with ``param_names`` /
-      ``state_names`` recording the SBML ids — and ``p0``, the tuple of
-      parameter values declared in the document (the natural fit start /
-      simulation point).
+      ``(model, p0)`` — or ``(model, p0, lowered)`` with
+      ``events="lower"``, where ``lowered`` is a tuple of
+      ``(kind, time, target_id, value)`` records, ``kind`` ``"param"``
+      (→ ``Experiment.inputs``) or ``"state"``
+      (→ ``Experiment.input_states``). The ``OdeModel``'s parameter
+      vector is ``global params + lifted local params + boundary/constant
+      species`` in document order (see module docstring), with
+      ``param_names``/``state_names`` recording the SBML ids, and ``p0``
+      the declared parameter values (the natural fit start).
     """
+    if events not in ("raise", "lower"):
+        raise ValueError(f"events must be 'raise' or 'lower', got "
+                         f"{events!r}")
     text = source
     if not source.lstrip().startswith("<"):
         if not os.path.exists(source):
@@ -252,10 +273,13 @@ def from_sbml(source: str, name: Optional[str] = None) -> OdeModel:
         raise SbmlError("SBML document has no <model>")
     model_id = name or model_node.get("id") or model_node.get("name") or "sbml"
 
-    if _list_of(model_node, "listOfEvents", "event"):
+    event_nodes = _list_of(model_node, "listOfEvents", "event")
+    if event_nodes and events == "raise":
         raise SbmlUnsupportedError(
-            "SBML events — express dose/stimulus protocols with "
-            "tpusysbio.data.Experiment timed inputs instead")
+            "SBML events — pass events='lower' to auto-lower constant-"
+            "time triggers onto Experiment timed inputs, or express "
+            "dose/stimulus protocols with tpusysbio.data.Experiment "
+            "timed inputs directly")
 
     t_sym = sp.Symbol("t")
 
@@ -473,4 +497,52 @@ def from_sbml(source: str, name: Optional[str] = None) -> OdeModel:
     if any(v != v for v in param_vals):  # NaN check without numpy import
         bad = [pid for pid, v in zip(param_ids, param_vals) if v != v]
         raise SbmlError(f"parameters without values: {bad}")
-    return model, tuple(param_vals)
+    if events == "raise":
+        return model, tuple(param_vals)
+
+    # ---- events="lower": constant-time triggers -> timed-input records --
+    state_ids = [str(s) for s in states]
+    lowered = []
+    for ev in event_nodes:
+        eid = ev.get("id") or f"event{len(lowered)}"
+        if _find(ev, "delay") is not None:
+            raise SbmlUnsupportedError(f"event {eid!r}: delays")
+        trig = _find(ev, "trigger")
+        if trig is None:
+            raise SbmlError(f"event {eid!r} without trigger")
+        rel = mathml.parse_container(_find(trig, "math"))
+        rel = rel.xreplace(assignments)
+        # accept time >= c / time > c / c <= time / c < time with numeric c
+        t_time = None
+        if isinstance(rel, (sp.Ge, sp.Gt)) and rel.args[0] == t_sym:
+            t_time = rel.args[1]
+        elif isinstance(rel, (sp.Le, sp.Lt)) and rel.args[1] == t_sym:
+            t_time = rel.args[0]
+        if t_time is None or t_time.free_symbols:
+            raise SbmlUnsupportedError(
+                f"event {eid!r}: only constant-time triggers "
+                "(time >= c) can be lowered; state-dependent triggers "
+                "need the BDF solver's EventSpec root-finding")
+        t_c = float(t_time)
+        for ea in _list_of(ev, "listOfEventAssignments", "eventAssignment"):
+            var = ea.get("variable")
+            if var is None:
+                raise SbmlError(f"event {eid!r}: assignment without "
+                                "variable")
+            val_expr = mathml.parse_container(
+                _find(ea, "math")).xreplace(assignments)
+            if val_expr.free_symbols:
+                raise SbmlUnsupportedError(
+                    f"event {eid!r}: assignment to {var!r} is not a "
+                    "constant (state/parameter-dependent event "
+                    "assignments cannot be lowered)")
+            val = float(val_expr)
+            if var in param_ids:
+                lowered.append(("param", t_c, var, val))
+            elif var in state_ids:
+                lowered.append(("state", t_c, var, val))
+            else:
+                raise SbmlUnsupportedError(
+                    f"event {eid!r}: assignment target {var!r} is "
+                    "neither a model parameter nor a state")
+    return model, tuple(param_vals), tuple(lowered)

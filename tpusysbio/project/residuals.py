@@ -181,7 +181,8 @@ class Project:
         P = p_e.shape[0]
 
         if segs is not None:
-            bounds, smask, svals = segs
+            bounds, smask, svals = segs[:3]
+            seg_y0 = segs[3:] if len(segs) > 3 else None
             p0_eff = jnp.where(smask[0], svals[0], p_e)
             dirs0 = (~smask[0]).astype(p_e.dtype)
         else:
@@ -239,7 +240,8 @@ class Project:
                             config=self.config, jac=jac)
         else:
             res = self._sim_segments(p_e, bounds, smask, svals, t_eval,
-                                     y0, s0, C_e, with_sens, solve)
+                                     y0, s0, C_e, with_sens, solve,
+                                     seg_y0=seg_y0)
 
         # observables g(y, p) and their total parameter derivative;
         # evaluated with the BASE parameter vector (perturbations change
@@ -314,7 +316,7 @@ class Project:
 
     # ------------------------------------------------------------------
     def _sim_segments(self, p_e, bounds, smask, svals, t_eval, y0, s0,
-                      C_e, with_sens: bool, solve):
+                      C_e, with_sens: bool, solve, seg_y0=None):
         """Piecewise integration across static segment boundaries (the
         events-analogue; spec the reference stack meets with solve_ivp
         events + restarts, ``scipy/integrate/_ivp/ivp.py:29-158``).
@@ -338,6 +340,15 @@ class Project:
         counters = None
         for k in range(S):
             t_lo, t_hi = bounds[k], bounds[k + 1]
+            if seg_y0 is not None:
+                # one-shot timed STATE assignment at this boundary
+                # (Experiment.input_states — bolus dose / reset): the
+                # carried state is SET where masked; the assigned rows'
+                # sensitivity resets to zero (a constant start)
+                sy_mask, sy_vals = seg_y0
+                y_c = jnp.where(sy_mask[k], sy_vals[k], y_c)
+                if with_sens:
+                    s_c = s_c * (~sy_mask[k])[:, None].astype(s_c.dtype)
             p_k = jnp.where(smask[k], svals[k], p_e)
             dirs_k = (~smask[k]).astype(p_e.dtype)
             f, jac, sens_rhs = self._make_seg_fns(p_k, C_e, dirs_k,
@@ -395,8 +406,12 @@ class Project:
         if theta_mode:
             args.append(self.pmap.chain(theta))  # (E, P, G) = dp/dθ rows
         has_segs = b.seg_bounds is not None
+        has_seg_y0 = b.seg_y0_mask is not None
+        n_seg_args = 3 + 2 * int(has_seg_y0)
         if has_segs:
             args += [b.seg_bounds, b.seg_mask, b.seg_vals]
+            if has_seg_y0:
+                args += [b.seg_y0_mask, b.seg_y0_vals]
         if b.has_preeq:
             args += [b.preeq, b.preeq_mask, b.preeq_vals]
         if b.has_y0_over:
@@ -406,8 +421,8 @@ class Project:
             i = 5
             C_e = a[i] if theta_mode else None
             i += int(theta_mode)
-            segs = tuple(a[i:i + 3]) if has_segs else None
-            i += 3 * int(has_segs)
+            segs = tuple(a[i:i + n_seg_args]) if has_segs else None
+            i += n_seg_args * int(has_segs)
             preeq = tuple(a[i:i + 3]) if b.has_preeq else None
             i += 3 * int(b.has_preeq)
             y0_over = tuple(a[i:i + 2]) if b.has_y0_over else None
