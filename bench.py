@@ -60,7 +60,7 @@ SOLVER = os.environ.get("TPUSYSBIO_BENCH_SOLVER", "pallas")
 SENS_PREC = os.environ.get("TPUSYSBIO_BENCH_SENS_PREC", "f32")
 STEPPER = os.environ.get("TPUSYSBIO_BENCH_STEPPER", "bdf")
 T_SPAN = (0.0, 100.0)
-N_T = 41
+N_T = int(os.environ.get("TPUSYSBIO_BENCH_NT", "41"))
 
 
 def _wait_for_backend(max_tries: int = 5, sleep_s: float = 20.0):
@@ -84,7 +84,13 @@ def main():
     t_eval = jnp.linspace(*T_SPAN, N_T)
     cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024,
                        linear_solver=SOLVER, sens_precision=SENS_PREC,
-                       dense_f32=True)
+                       dense_f32=True,
+                       # dense_window is exact (tests/test_solvers.py) but
+                       # MEASURED SLOWER under vmap on TPU (107 vs 249
+                       # int/s): per-member dynamic slice starts lower to
+                       # gather/scatter. Default off; a CPU-oriented knob.
+                       dense_window=int(os.environ.get(
+                           "TPUSYSBIO_BENCH_DENSE_WINDOW", "0")))
 
     def integrate(p):
         # model-provided closed-form fast paths (massaction.py) when

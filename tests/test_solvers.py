@@ -7,6 +7,7 @@ stiff stability (a broken Newton/LU shows up as a step-count explosion long
 before it shows up as wrong trajectories — SURVEY.md §4 item 6).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -245,3 +246,54 @@ def test_long_horizon_memory_is_static():
     long = comp(jnp.asarray(10_000.0))
     assert int(short[1]) == 1 and int(long[1]) == 1
     assert int(long[2]) > int(short[2])  # genuinely more steps
+
+
+def test_dense_window_bitwise_equal():
+    """SolverConfig.dense_window: the windowed dense-output path (slice
+    interpolation + step cap at the (window-1)-th next grid point) must be
+    BITWISE identical to the full-grid path when the cap never binds, with
+    the same step count — it is the bench contract's exactness claim."""
+    from tpusysbio.sens import make_sens_rhs
+
+    model = library.michaelis_menten()
+    p = jnp.asarray(library.MM_TRUE_PARAMS)
+    t_eval = jnp.linspace(0.0, 10.0, 41)
+    s0 = jnp.zeros((model.n_states, model.n_params), p.dtype)
+    sens_rhs = make_sens_rhs(model.rhs, p)
+
+    def run(dwin):
+        cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=1024,
+                           dense_window=dwin)
+        return jax.jit(lambda: bdf_solve(
+            lambda t, y: model.rhs(t, y, p), (0.0, 10.0), model.y0(p),
+            t_eval, config=cfg, sens_rhs=sens_rhs, s0=s0))()
+
+    full, win = run(0), run(8)
+    assert int(full.status) == 1 and int(win.status) == 1
+    assert int(full.nsteps) == int(win.nsteps)
+    np.testing.assert_array_equal(np.asarray(full.ys), np.asarray(win.ys))
+    np.testing.assert_array_equal(np.asarray(full.sens),
+                                  np.asarray(win.sens))
+
+
+def test_dense_window_cap_binds_still_exact():
+    """A tiny window on a coarse grid forces the step cap to bind: the
+    trajectory changes (more steps) but stays within tolerance of the
+    full-grid reference at every grid point."""
+    model = library.michaelis_menten()
+    p = jnp.asarray(library.MM_TRUE_PARAMS)
+    t_eval = jnp.linspace(0.0, 10.0, 9)
+
+    def run(dwin):
+        cfg = SolverConfig(rtol=1e-8, atol=1e-11, max_steps=2048,
+                           dense_window=dwin)
+        return jax.jit(lambda: bdf_solve(
+            lambda t, y: model.rhs(t, y, p), (0.0, 10.0), model.y0(p),
+            t_eval, config=cfg))()
+
+    full, win = run(0), run(2)
+    assert int(win.status) == 1
+    # the cap costs extra steps on a coarse grid, never correctness
+    assert int(win.nsteps) >= int(full.nsteps)
+    np.testing.assert_allclose(np.asarray(win.ys), np.asarray(full.ys),
+                               rtol=1e-6, atol=1e-9)

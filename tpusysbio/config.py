@@ -81,6 +81,21 @@ class SolverConfig:
     # forward sensitivities — the framework's own Jacobian source — are
     # unaffected either way.
     dense_f32: bool = False
+    # Dense-output windowing (0 = off): per accepted step, evaluate the
+    # interpolant only on a ``dense_window``-point dynamic slice of
+    # ``t_eval`` instead of all T points, and write back just that slice.
+    # Correct by construction: the step size is additionally capped at
+    # the (dense_window-1)-th next ``t_eval`` point, so a step can never
+    # cover more points than the slice holds. For dense output grids
+    # (T ≫ typical points-per-step — the benchmark contract's 41-point
+    # grid sees ≲1 point/step) this removes the dominant per-step
+    # dense-output cost: the (T × order × n·k) interpolation einsum and
+    # the full-accumulator rewrite shrink by T/dense_window with bitwise
+    # identical outputs as long as the cap never binds (it binds only
+    # when a single step would skip ≥ dense_window grid points, which
+    # costs extra steps, never correctness). BDF only; other steppers
+    # evaluate the full grid.
+    dense_window: int = 0
     # In-jit assertion lane (SURVEY.md §5 sanitizers): emit
     # ``checkify.check`` assertions (finite RHS at init, positive step)
     # inside the steppers. STATIC flag — zero cost when off. Wrap the
@@ -98,6 +113,8 @@ class SolverConfig:
         if self.sens_precision not in ("full", "f32"):
             raise ValueError(
                 f"unknown sens_precision {self.sens_precision!r}")
+        if self.dense_window != 0 and self.dense_window < 2:
+            raise ValueError("dense_window must be 0 (off) or >= 2")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -183,6 +183,10 @@ def bdf_solve(
     t_bound = jnp.asarray(t_span[1], dtype)
     n = y0.shape[0]
     t_eval = jnp.asarray(t_eval, dtype)
+    # dense-output windowing (SolverConfig.dense_window): active only
+    # when the window is a strict subset of the grid
+    dw = int(config.dense_window)
+    dw = dw if 0 < dw < t_eval.shape[0] else 0
 
     if sens_rhs is not None:
         if s0 is None:
@@ -387,9 +391,24 @@ def bdf_solve(
         # clip rescalings compose multiplicatively (change_D represents
         # the h -> f*h scaling group), so ONE masked transform serves both
         # instead of two full passes over D.
+        # With dense_window, the step is ALSO capped at the
+        # (dense_window-1)-th next t_eval point, so the windowed
+        # dense-output slice below provably covers every point the step
+        # passes (the cap rides the same clip/rescale machinery as
+        # t_bound and binds only when one step would skip a whole window
+        # of grid points).
+        if dw:
+            lo_eval = jnp.searchsorted(t_eval, t, side="right")
+            _last = jnp.minimum(lo_eval + (dw - 1), t_eval.shape[0] - 1)
+            t_cap = jnp.where(lo_eval + (dw - 1) < t_eval.shape[0],
+                              t_eval[_last], jnp.asarray(jnp.inf, dtype))
+            bound_eff = jnp.minimum(t_bound, t_cap)
+        else:
+            lo_eval = None
+            bound_eff = t_bound
         t_new_raw = t + h_abs
-        clipped = t_new_raw > t_bound
-        t_new = jnp.where(clipped, t_bound, t_new_raw)
+        clipped = t_new_raw > bound_eff
+        t_new = jnp.where(clipped, bound_eff, t_new_raw)
         h = t_new - t
         clip_factor = jnp.where(clipped, h / h_abs, jnp.ones((), dtype))
         D = bmap(lambda Dp, i: jnp.where(
@@ -716,14 +735,22 @@ def bdf_solve(
             g_old_new = st.g_old
 
         with jax.named_scope("bdf.dense_output"):
-            ys_acc = bmap(
-                lambda Dp, acc, i: jnp.where(
-                    accept,
-                    common.interp_accumulate(
-                        t_eval, t, t_fill_hi,
-                        lambda tv: interp_part(Dp, tv), acc),
-                    acc),
-                D_new, st.ys_acc)
+            if dw:
+                ys_acc = bmap(
+                    lambda Dp, acc, i: common.interp_accumulate_windowed(
+                        t_eval, lo_eval, t, t_fill_hi,
+                        lambda tv: interp_part(Dp, tv), acc, dw,
+                        gate=accept),
+                    D_new, st.ys_acc)
+            else:
+                ys_acc = bmap(
+                    lambda Dp, acc, i: jnp.where(
+                        accept,
+                        common.interp_accumulate(
+                            t_eval, t, t_fill_hi,
+                            lambda tv: interp_part(Dp, tv), acc),
+                        acc),
+                    D_new, st.ys_acc)
 
         done = accept & (t_new >= t_bound)
         nsteps = st.nsteps + 1

@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 STATUS_RUNNING = 0
 STATUS_DONE = 1
@@ -197,3 +198,34 @@ def interp_accumulate(t_eval, t_old, t_new, interp_fn, ys_acc):
     vals = interp_fn(t_eval)
     mask_b = mask.reshape(mask.shape + (1,) * (ys_acc.ndim - 1))
     return jnp.where(mask_b, vals, ys_acc)
+
+
+def interp_accumulate_windowed(t_eval, lo, t_old, t_new, interp_fn, ys_acc,
+                               window: int, gate=True):
+    """Windowed :func:`interp_accumulate` (SolverConfig.dense_window).
+
+    ``lo`` is the index of the first ``t_eval`` point > ``t_old`` (the
+    caller already computed it for the step-size cap). The caller
+    guarantees every point in ``(t_old, t_new]`` lies in
+    ``[lo, lo + window)`` by capping the step at the (window-1)-th next
+    grid point, so evaluating and writing only that slice is exact —
+    ``window``-row interpolation einsum + one in-place
+    ``dynamic_update_slice`` instead of T rows + a full-accumulator
+    rewrite per step. ``gate`` (e.g. the step's accept flag) folds into
+    the slice mask so a gated-off call still writes only slice-sized
+    no-op traffic, never the full accumulator.
+    """
+    T = t_eval.shape[0]
+    if window >= T:
+        return jnp.where(
+            gate, interp_accumulate(t_eval, t_old, t_new, interp_fn,
+                                    ys_acc), ys_acc)
+    # keep the slice in range; points that shift into view get masked
+    lo_s = jnp.minimum(lo, T - window)
+    tv = lax.dynamic_slice_in_dim(t_eval, lo_s, window)
+    mask = (tv > t_old) & (tv <= t_new) & gate
+    vals = interp_fn(tv)
+    acc_slice = lax.dynamic_slice_in_dim(ys_acc, lo_s, window)
+    mask_b = mask.reshape(mask.shape + (1,) * (ys_acc.ndim - 1))
+    new_slice = jnp.where(mask_b, vals.astype(ys_acc.dtype), acc_slice)
+    return lax.dynamic_update_slice_in_dim(ys_acc, new_slice, lo_s, 0)
