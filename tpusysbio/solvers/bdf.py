@@ -112,7 +112,27 @@ def _change_D(D, order, factor):
     eye = (i == j).astype(dtype)
     # D_new[i] = sum_j P[j, i] * D[j] within the block, identity outside.
     T = jnp.where(in_block, Ppad.T, eye)
-    return jnp.einsum("ij,j...->i...", T, D)
+    return _rowmix(T, D)
+
+
+def _rowmix(T, D):
+    """``(R,R) @ (R, ...)`` small-contraction product as a broadcast
+    multiply+sum. XLA:TPU lowers the equivalent ``dot_general`` to a
+    bf16 multi-pass MXU algorithm with per-row dynamic-update-slice
+    assembly and layout-transposed operand copies — measured ~37% of
+    the tight-path wall on the r5 device trace (hlo_stats: the
+    f32[8,B,n,m]/bf16[4,B,n,m] DUS+copy cluster). The contraction dim
+    here is 8; the explicit elementwise form fuses into one VPU
+    reduction instead."""
+    Texp = T.reshape(T.shape + (1,) * (D.ndim - 1))
+    return jnp.sum(Texp * D[None], axis=1)
+
+
+def _rowsum(w, D):
+    """``(R,) · (R, ...)`` weighted row sum, elementwise for the same
+    reason as :func:`_rowmix`."""
+    wexp = w.reshape(w.shape + (1,) * (D.ndim - 1))
+    return jnp.sum(wexp * D, axis=0)
 
 
 class _BDFState(NamedTuple):
@@ -421,14 +441,13 @@ def bdf_solve(
         # --- prediction (bdf.py:355-358) ---
         pred_mask = (rows <= order)
         y_predict = bmap(
-            lambda Dp, i: jnp.einsum(
-                "i,i...->...", pred_mask.astype(Dp.dtype), Dp), D)
+            lambda Dp, i: _rowsum(pred_mask.astype(Dp.dtype), Dp), D)
         psi_w = jnp.where((rows >= 1) & (rows <= order), gamma_pad[rows],
                           0.0)
         c = h / alpha[order]
         psi = bmap(
-            lambda Dp, i: jnp.einsum(
-                "i,i...->...", (psi_w / alpha[order]).astype(Dp.dtype), Dp),
+            lambda Dp, i: _rowsum((psi_w / alpha[order]).astype(Dp.dtype),
+                                  Dp),
             D)
         scale_state = atol + rtol * jnp.abs(y_predict[0][:, 0])
 
@@ -616,8 +635,7 @@ def bdf_solve(
         W = Tc @ Ma
         v = Tc @ ua
         D_new = bmap(
-            lambda Dp, dp, i: jnp.einsum(
-                "ij,j...->i...", W.astype(Dp.dtype), Dp)
+            lambda Dp, dp, i: _rowmix(W.astype(Dp.dtype), Dp)
             + v.astype(Dp.dtype)[:, None, None] * dp[None],
             D, d)
         h_new = h_abs * jnp.where(change, h_factor, 1.0)
@@ -653,8 +671,11 @@ def bdf_solve(
             p = jnp.cumprod(x.astype(cdt), axis=1)
             p = jnp.where(ks5[None, :] <= order_new, p,
                           jnp.zeros((), cdt))
-            corr = jnp.einsum("tj,jnk->tnk", p,
-                              Dp[1:MAX_ORDER + 1].astype(cdt))
+            # small-contraction (J=5) product, elementwise for the same
+            # dot_general-lowering reason as _rowmix
+            corr = jnp.sum(p[:, :, None, None]
+                           * Dp[1:MAX_ORDER + 1].astype(cdt)[None],
+                           axis=1)
             return Dp[0][None] + corr.astype(dt)
 
         # --- state-dependent events (EventSpec; scipy solve_ivp events,
