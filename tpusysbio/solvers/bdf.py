@@ -115,22 +115,42 @@ def _change_D(D, order, factor):
     return _rowmix(T, D)
 
 
+# Static per-part size (n·k) above which the row-mix contractions go
+# back to dot_general. Measured on v5e (round 5): elementwise wins for
+# MAPK-22 parts (22·31 → 249→352 int/s/chip) because XLA lowers the
+# tiny dot to a bf16 multi-pass MXU algorithm with per-row
+# dynamic-update-slice assembly; the dot wins for compute-bound
+# EGFR-97 (97·13: 218.9 s r4 einsum vs 232.7 s all-elementwise) where
+# the R-fold operand re-reads of the broadcast form cost more than the
+# DUS assembly. 1024 splits the two measured regimes.
+_ELEMENTWISE_PART_MAX = 1024
+
+
+def _part_size(D):
+    return D.shape[-2] * D.shape[-1] if D.ndim >= 3 else D.shape[-1]
+
+
 def _rowmix(T, D):
-    """``(R,R) @ (R, ...)`` small-contraction product as a broadcast
-    multiply+sum. XLA:TPU lowers the equivalent ``dot_general`` to a
+    """``(R,R) @ (R, ...)`` small-contraction product. For small parts
+    (``n·k ≤ _ELEMENTWISE_PART_MAX``) an explicit broadcast
+    multiply+sum: XLA:TPU lowers the equivalent ``dot_general`` to a
     bf16 multi-pass MXU algorithm with per-row dynamic-update-slice
     assembly and layout-transposed operand copies — measured ~37% of
     the tight-path wall on the r5 device trace (hlo_stats: the
     f32[8,B,n,m]/bf16[4,B,n,m] DUS+copy cluster). The contraction dim
-    here is 8; the explicit elementwise form fuses into one VPU
-    reduction instead."""
+    here is 8; the elementwise form fuses into one VPU reduction
+    instead. Large parts keep the dot (see _ELEMENTWISE_PART_MAX)."""
+    if _part_size(D) > _ELEMENTWISE_PART_MAX:
+        return jnp.einsum("ij,j...->i...", T, D)
     Texp = T.reshape(T.shape + (1,) * (D.ndim - 1))
     return jnp.sum(Texp * D[None], axis=1)
 
 
 def _rowsum(w, D):
-    """``(R,) · (R, ...)`` weighted row sum, elementwise for the same
-    reason as :func:`_rowmix`."""
+    """``(R,) · (R, ...)`` weighted row sum, same size-gated lowering
+    choice as :func:`_rowmix`."""
+    if _part_size(D) > _ELEMENTWISE_PART_MAX:
+        return jnp.einsum("i,i...->...", w, D)
     wexp = w.reshape(w.shape + (1,) * (D.ndim - 1))
     return jnp.sum(wexp * D, axis=0)
 
@@ -671,11 +691,16 @@ def bdf_solve(
             p = jnp.cumprod(x.astype(cdt), axis=1)
             p = jnp.where(ks5[None, :] <= order_new, p,
                           jnp.zeros((), cdt))
-            # small-contraction (J=5) product, elementwise for the same
-            # dot_general-lowering reason as _rowmix
-            corr = jnp.sum(p[:, :, None, None]
-                           * Dp[1:MAX_ORDER + 1].astype(cdt)[None],
-                           axis=1)
+            # small-contraction (J=5) product, elementwise for small
+            # parts for the same dot_general-lowering reason as _rowmix
+            # (size-gated: the dot wins for large compute-bound parts)
+            if _part_size(Dp) > _ELEMENTWISE_PART_MAX:
+                corr = jnp.einsum("tj,jnk->tnk", p,
+                                  Dp[1:MAX_ORDER + 1].astype(cdt))
+            else:
+                corr = jnp.sum(p[:, :, None, None]
+                               * Dp[1:MAX_ORDER + 1].astype(cdt)[None],
+                               axis=1)
             return Dp[0][None] + corr.astype(dt)
 
         # --- state-dependent events (EventSpec; scipy solve_ivp events,
