@@ -61,7 +61,8 @@ class OdeModel:
             raise ValueError("state_names length mismatch")
 
     def simulate(self, p, t_span, t_eval, solver: str = "bdf",
-                 config: Optional[SolverConfig] = None, events=None):
+                 config: Optional[SolverConfig] = None, events=None,
+                 dense_output: bool = False):
         """Forward trajectory at ``t_eval`` (reference ``model.simulate``,
         SURVEY.md §3.2). Returns an ``IntegrateResult``.
 
@@ -69,7 +70,14 @@ class OdeModel:
         state-dependent event detection (scipy ``solve_ivp(events=…)``
         parity, ``scipy/integrate/_ivp/ivp.py:29-158``); supported by the
         ``bdf`` solver. The event functions receive ``(t, y)``; close over
-        ``p`` for parameter-dependent thresholds."""
+        ``p`` for parameter-dependent thresholds.
+
+        ``dense_output=True`` (``bdf`` only) additionally records each
+        accepted step's interpolant into the result's ``seg_*`` buffers;
+        wrap with :class:`tpusysbio.solvers.OdeSolution` for a post-hoc
+        continuous solution evaluable at arbitrary times (scipy
+        ``solve_ivp(dense_output=True)`` analogue,
+        ``scipy/integrate/_ivp/common.py:137``)."""
         from tpusysbio import solvers
 
         config = config or SolverConfig()
@@ -79,13 +87,23 @@ class OdeModel:
         jac = (None if self.rhs_jac is None
                else (lambda t, y: self.rhs_jac(t, y, p.astype(y.dtype))))
         kw = {} if events is None else dict(events=events)
+        if dense_output:
+            if solver != "bdf":
+                raise ValueError(
+                    "dense_output=True is supported by the 'bdf' solver")
+            kw["dense_export"] = True
         return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
                   y0, t_eval, config=config, jac=jac, **kw)
 
     def simulate_sensitivities(self, p, t_span, t_eval, solver: str = "bdf",
-                               config: Optional[SolverConfig] = None):
+                               config: Optional[SolverConfig] = None,
+                               dense_output: bool = False):
         """Trajectory + forward sensitivities dy/dp at ``t_eval``
-        (reference ``simulate_sensitivities``, SURVEY.md §3.3)."""
+        (reference ``simulate_sensitivities``, SURVEY.md §3.3).
+
+        ``dense_output=True`` (``bdf`` only): see :meth:`simulate` — the
+        exported interpolant carries the sensitivity columns too
+        (``OdeSolution.sens``)."""
         from tpusysbio import solvers
         from tpusysbio.sens import make_sens_rhs
 
@@ -100,9 +118,15 @@ class OdeModel:
             sens_rhs = make_sens_rhs(self.rhs, p)
         jac = (None if self.rhs_jac is None
                else (lambda t, y: self.rhs_jac(t, y, p.astype(y.dtype))))
+        kw = {}
+        if dense_output:
+            if solver != "bdf":
+                raise ValueError(
+                    "dense_output=True is supported by the 'bdf' solver")
+            kw["dense_export"] = True
         return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
                   y0, t_eval, config=config, sens_rhs=sens_rhs, s0=s0,
-                  jac=jac)
+                  jac=jac, **kw)
 
     def jacobian(self, t, y, p):
         """State Jacobian ∂f/∂y via forward-mode AD."""

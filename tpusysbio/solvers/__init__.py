@@ -30,6 +30,7 @@ from tpusysbio.solvers.common import (  # noqa: F401
 from tpusysbio.solvers.adams import adams_solve  # noqa: F401
 from tpusysbio.solvers.auto import auto_solve  # noqa: F401
 from tpusysbio.solvers.bdf import bdf_solve  # noqa: F401
+from tpusysbio.solvers.dense import OdeSolution  # noqa: F401
 from tpusysbio.solvers.dopri5 import dopri5_solve  # noqa: F401
 from tpusysbio.solvers.radau import radau_solve  # noqa: F401
 from tpusysbio.solvers.rosenbrock import rosenbrock_solve  # noqa: F401

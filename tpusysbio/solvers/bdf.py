@@ -180,6 +180,13 @@ class _BDFState(NamedTuple):
     ev_t: jax.Array           # (E, K) recorded event times (+inf unfilled)
     ev_y: jax.Array           # (E, K, n) states at the recorded times
     ev_count: jax.Array       # (E,) int32 occurrence counts
+    # dense-export channel (zero-capacity unless dense_export=True): the
+    # per-accepted-step interpolant parameters for the post-hoc
+    # OdeSolution (solvers/dense.py)
+    seg_t: jax.Array          # (S,) step end times (+inf unfilled)
+    seg_h: jax.Array          # (S,) interpolant step sizes
+    seg_order: jax.Array      # (S,) int32 interpolant orders
+    seg_D: tuple              # per-part (S, MAX_ORDER+1, n, k_p) D rows
 
 
 def bdf_solve(
@@ -192,6 +199,7 @@ def bdf_solve(
     s0: Optional[jax.Array] = None,
     jac: Optional[Callable] = None,
     events: Optional[common.EventSpec] = None,
+    dense_export: bool = False,
 ) -> IntegrateResult:
     """Integrate ``dy/dt = f(t, y)`` from t_span[0] to t_span[1] (forward).
 
@@ -214,6 +222,13 @@ def bdf_solve(
         in-loop bisection on the dense-output polynomial after each
         accepted step. Fills ``event_t``/``event_y``/``event_count`` on
         the result; a terminal event stops with ``STATUS_EVENT``.
+      dense_export: record each accepted step's interpolant parameters
+        into static ``max_steps``-capacity result buffers
+        (``seg_t/seg_h/seg_order/seg_D``) for the post-hoc continuous
+        :class:`~tpusysbio.solvers.dense.OdeSolution` (scipy
+        ``dense_output=True`` analogue, spec
+        ``scipy/integrate/_ivp/common.py:137``). Off by default — the
+        buffers cost ``max_steps·(MAX_ORDER+1)·n·(1+m)`` per member.
 
     Returns an ``IntegrateResult`` with ``ys`` (T, n), ``sens`` (T, n, m).
     """
@@ -382,6 +397,16 @@ def bdf_solve(
         g0 = jnp.zeros((0,), dtype)
         n_ev, ev_cap = 0, 1
 
+    # --- dense-export buffers (zero-capacity when off, like the event
+    #     channel, so the state pytree shape is decided at trace time) ---
+    seg_cap = int(config.max_steps) if dense_export else 0
+    seg_t0 = jnp.full((seg_cap,), jnp.inf, dtype)
+    seg_h0 = jnp.zeros((seg_cap,), dtype)
+    seg_ord0 = jnp.zeros((seg_cap,), jnp.int32)
+    seg_D0 = bmap(
+        lambda Y0p, i: jnp.zeros((seg_cap, MAX_ORDER + 1) + Y0p.shape,
+                                 Y0p.dtype), Y0b)
+
     state = _BDFState(
         t=t0, h_abs=h0, order=i32(1), D=D0, J=J0, fact=fact0,
         lu_valid=jnp.asarray(False), current_jac=jnp.asarray(False),
@@ -396,6 +421,7 @@ def bdf_solve(
         ev_t=jnp.full((n_ev, ev_cap), jnp.inf, dtype),
         ev_y=jnp.zeros((n_ev, ev_cap, n), dtype),
         ev_count=jnp.zeros((n_ev,), jnp.int32),
+        seg_t=seg_t0, seg_h=seg_h0, seg_order=seg_ord0, seg_D=seg_D0,
     )
 
     def cond(st: _BDFState):
@@ -703,6 +729,28 @@ def bdf_solve(
                                axis=1)
             return Dp[0][None] + corr.astype(dt)
 
+        # --- dense export (solvers/dense.py OdeSolution): record this
+        #     accepted step's interpolant (t_new, h_new, order_new,
+        #     D_new[:MAX_ORDER+1]) at slot ``naccepted``. Uses the
+        #     PRE-event-rewrite D_new — a terminal event overwrites the
+        #     anchor row below, which would corrupt the polynomial.
+        #     Python-level gate: zero cost and unchanged HLO when off. ---
+        if dense_export:
+            slot_d = jnp.minimum(st.naccepted, seg_cap - 1)
+            seg_t_new = st.seg_t.at[slot_d].set(
+                jnp.where(accept, t_new, st.seg_t[slot_d]))
+            seg_h_new = st.seg_h.at[slot_d].set(
+                jnp.where(accept, h_new, st.seg_h[slot_d]))
+            seg_ord_new = st.seg_order.at[slot_d].set(
+                jnp.where(accept, order_new, st.seg_order[slot_d]))
+            seg_D_new = bmap(
+                lambda Dp, buf, i: buf.at[slot_d].set(
+                    jnp.where(accept, Dp[: MAX_ORDER + 1], buf[slot_d])),
+                D_new, st.seg_D)
+        else:
+            seg_t_new, seg_h_new = st.seg_t, st.seg_h
+            seg_ord_new, seg_D_new = st.seg_order, st.seg_D
+
         # --- state-dependent events (EventSpec; scipy solve_ivp events,
         #     ivp.py:29-158): after an accepted step, detect a sign change
         #     of g across [t, t_new] per scipy's find_active_events
@@ -819,7 +867,9 @@ def bdf_solve(
             nfev=nfev, njev=njev, nlu=nlu,
             order_hist=st.order_hist.at[order].add(
                 jnp.where(accept, 1, 0)),
-            g_old=g_old_new, ev_t=ev_t, ev_y=ev_y, ev_count=ev_count)
+            g_old=g_old_new, ev_t=ev_t, ev_y=ev_y, ev_count=ev_count,
+            seg_t=seg_t_new, seg_h=seg_h_new, seg_order=seg_ord_new,
+            seg_D=seg_D_new)
 
         # a fatal underflow freezes the state (failed members are masked
         # out downstream, never aborting a vmapped batch)
@@ -840,6 +890,9 @@ def bdf_solve(
     if events is not None:
         ev_kw = dict(event_t=final.ev_t, event_y=final.ev_y,
                      event_count=final.ev_count)
+    if dense_export:
+        ev_kw.update(seg_t=final.seg_t, seg_h=final.seg_h,
+                     seg_order=final.seg_order, seg_D=final.seg_D)
     return IntegrateResult(
         ys=ys, sens=sens, status=final.status, nsteps=final.nsteps,
         naccepted=final.naccepted, nrejected=final.nrejected,

@@ -108,6 +108,16 @@ class IntegrateResult(NamedTuple):
     event_t: jax.Array = None
     event_y: jax.Array = None
     event_count: jax.Array = None
+    # Dense-export channel (``bdf_solve(dense_export=True)``): the
+    # per-accepted-step interpolant parameters for the post-hoc
+    # continuous OdeSolution (solvers/dense.py; scipy OdeSolution spec,
+    # scipy/integrate/_ivp/common.py:137). (S,)/(S,)/(S,) +
+    # per-part tuple of (S, MAX_ORDER+1, n, k_p); slots past
+    # ``naccepted`` are unfilled.
+    seg_t: jax.Array = None
+    seg_h: jax.Array = None
+    seg_order: jax.Array = None
+    seg_D: tuple = None
 
     @property
     def success(self):
