@@ -77,11 +77,29 @@ class OdeModel:
         wrap with :class:`tpusysbio.solvers.OdeSolution` for a post-hoc
         continuous solution evaluable at arbitrary times (scipy
         ``solve_ivp(dense_output=True)`` analogue,
-        ``scipy/integrate/_ivp/common.py:137``)."""
+        ``scipy/integrate/_ivp/common.py:137``).
+
+        Decreasing ``t_span`` (backward integration, the
+        ``odeint``/``solve_ivp`` direction contract) is handled by TIME
+        REFLECTION: the steppers themselves are forward-only by design
+        (solvers/bdf.py module note), so ``τ = t0 − t`` with
+        ``dy/dτ = −f(t0−τ, y)`` runs the same forward machinery; pass
+        ``t_eval`` DECREASING from t0 to t1, rows align with it.
+        ``events``/``dense_output`` are forward-only (reflected event
+        direction semantics would be a silent trap — raise instead)."""
         from tpusysbio import solvers
 
         config = config or SolverConfig()
         p = jnp.asarray(p)
+        if float(t_span[1]) < float(t_span[0]):
+            if events is not None or dense_output:
+                raise ValueError(
+                    "backward t_span does not support events/dense_output")
+            res = self._reflected(float(t_span[0])).simulate(
+                p, (0.0, float(t_span[0]) - float(t_span[1])),
+                float(t_span[0]) - jnp.asarray(t_eval),
+                solver=solver, config=config)
+            return res._replace(t_final=float(t_span[0]) - res.t_final)
         fn = solvers.SOLVERS[solver]
         y0 = self.y0(p)
         jac = (None if self.rhs_jac is None
@@ -95,6 +113,21 @@ class OdeModel:
         return fn(lambda t, y: self.rhs(t, y, p.astype(y.dtype)), t_span,
                   y0, t_eval, config=config, jac=jac, **kw)
 
+    def _reflected(self, t0: float) -> "OdeModel":
+        """The time-reflected system ``τ = t0 − t``: forward integration
+        of the reflected model IS backward integration of this one."""
+        return dataclasses.replace(
+            self,
+            rhs=lambda tau, y, p: -self.rhs(t0 - tau, y, p),
+            rhs_jac=(None if self.rhs_jac is None else
+                     (lambda tau, y, p: -self.rhs_jac(t0 - tau, y, p))),
+            rhs_sens=(None if self.rhs_sens is None else
+                      (lambda tau, y, S, p:
+                       -self.rhs_sens(t0 - tau, y, S, p))),
+            rhs_sens_dir=(None if self.rhs_sens_dir is None else
+                          (lambda tau, y, S, p, C:
+                           -self.rhs_sens_dir(t0 - tau, y, S, p, C))))
+
     def simulate_sensitivities(self, p, t_span, t_eval, solver: str = "bdf",
                                config: Optional[SolverConfig] = None,
                                dense_output: bool = False):
@@ -103,12 +136,24 @@ class OdeModel:
 
         ``dense_output=True`` (``bdf`` only): see :meth:`simulate` — the
         exported interpolant carries the sensitivity columns too
-        (``OdeSolution.sens``)."""
+        (``OdeSolution.sens``). Decreasing ``t_span`` integrates backward
+        by time reflection (see :meth:`simulate`; the sensitivity RHS
+        reflects with the state RHS)."""
         from tpusysbio import solvers
         from tpusysbio.sens import make_sens_rhs
 
         config = config or SolverConfig()
         p = jnp.asarray(p)
+        if float(t_span[1]) < float(t_span[0]):
+            if dense_output:
+                raise ValueError(
+                    "backward t_span does not support dense_output")
+            res = self._reflected(
+                float(t_span[0])).simulate_sensitivities(
+                p, (0.0, float(t_span[0]) - float(t_span[1])),
+                float(t_span[0]) - jnp.asarray(t_eval),
+                solver=solver, config=config)
+            return res._replace(t_final=float(t_span[0]) - res.t_final)
         fn = solvers.SOLVERS[solver]
         y0 = self.y0(p)
         s0 = jax.jacfwd(self.y0)(p)

@@ -37,9 +37,11 @@ TPU-native design decisions (NOT a port — SURVEY.md §7 M2):
 - All linear algebra goes through ``tpusysbio.linalg`` (the stock XLA LU is
   f64-broken on this TPU — SURVEY.md §7 environment notes).
 
-Only forward integration (``t_span[1] > t_span[0]``) is supported; the
-domain never integrates backward (adjoints are out of scope by design —
-forward sensitivities are the Jacobian source, BASELINE.json:5).
+Only forward integration (``t_span[1] > t_span[0]``) is supported at
+this layer; ``OdeModel.simulate`` accepts decreasing ``t_span`` and
+lowers it onto the forward stepper by time reflection (adjoints remain
+out of scope by design — forward sensitivities are the Jacobian source,
+BASELINE.json:5).
 """
 
 from __future__ import annotations
