@@ -809,3 +809,46 @@ def test_two_phase_bounded_polish():
     np.testing.assert_allclose(
         np.sort(np.asarray(polish.cost)), np.sort(np.asarray(ref.cost)),
         rtol=1e-10)
+
+
+def test_two_phase_presorted_screen_matches_unsorted():
+    """Probe-sorted screen chunking (TwoPhaseDriver presort_fn) is a pure
+    execution-order optimization: per-member fits are independent, so the
+    screen results must be field-for-field identical with the unsorted
+    run, returned in the caller's original start order."""
+    from tpusysbio.fit.multistart import multistart_two_phase
+
+    rng = np.random.default_rng(11)
+    starts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(10, 2)))
+    screen_cfg = FitConfig(max_iter=6, ftol=1e-3, xtol=1e-3)
+    polish_cfg = FitConfig(max_iter=100)
+    fns = (_rosenbrock_residuals, _rosenbrock_rj)
+
+    # key: initial cost — reorders the chunks (and exercises the
+    # expensive-last pad path, N=10 -> 12 with 2 pads)
+    presort = jax.jit(jax.vmap(
+        lambda th: 0.5 * jnp.sum(_rosenbrock_residuals(th) ** 2)))
+    keys = np.asarray(presort(starts))
+    assert not np.all(np.argsort(keys, kind="stable")
+                      == np.arange(len(keys)))  # the sort is non-trivial
+
+    sorted_run = multistart_two_phase(
+        fns, fns, starts, screen_cfg, polish_cfg, top_k=2,
+        chunk_size=4, presort_fn=presort, return_info=True)
+    plain_run = multistart_two_phase(
+        fns, fns, starts, screen_cfg, polish_cfg, top_k=2,
+        chunk_size=4, return_info=True)
+
+    for a, b in ((sorted_run, plain_run),):
+        np.testing.assert_array_equal(np.asarray(a[1].cost),
+                                      np.asarray(b[1].cost))
+        np.testing.assert_array_equal(np.asarray(a[1].theta),
+                                      np.asarray(b[1].theta))
+        np.testing.assert_array_equal(np.asarray(a[1].status),
+                                      np.asarray(b[1].status))
+        np.testing.assert_array_equal(np.asarray(a[1].theta0),
+                                      np.asarray(b[1].theta0))
+        np.testing.assert_allclose(np.asarray(a[0].best().theta),
+                                   np.asarray(b[0].best().theta),
+                                   rtol=1e-12)
+    assert sorted_run[2]["presort_seconds"] > 0.0

@@ -578,6 +578,7 @@ def multistart_two_phase(
     polish_subproblem: str = "normal",
     polish_loss: str = "linear",
     polish_f_scale: float = 1.0,
+    presort_fn: Optional[Callable] = None,
 ):
     """Two-phase multi-start: wide cheap screening, then accurate polish.
 
@@ -607,6 +608,15 @@ def multistart_two_phase(
         (defaults to ``iter_chunk``) — screening and polishing have
         different per-iteration costs, so their caps differ in production
         (bench/headline_bench.py measurements).
+      presort_fn: optional jitted ``(B, G) -> (B,)`` sort-key callable
+        (typically a sensitivity-free integration's step count at the
+        screen config). Starts are screened in key-sorted chunks so each
+        chunk's lockstep union groups members of similar step cost;
+        results are returned in the caller's original order. Only pays
+        when the per-start step distribution is broad relative to the
+        probe's cost — measure first (bench/experiments/egfr_union_probe
+        .py found EGFR-97's distribution too tight to profit: sorted/
+        random union ratio 0.883 vs a probe costing ~a screen iteration).
 
     Returns ``(polish_result, screen_result)``; with ``return_info=True``
     additionally a dict with phase wall times and resume counts.
@@ -618,7 +628,7 @@ def multistart_two_phase(
         screen_channels=screen_channels, run_tag=run_tag,
         polish_subbatch=polish_subbatch, polish_bounds=polish_bounds,
         polish_subproblem=polish_subproblem, polish_loss=polish_loss,
-        polish_f_scale=polish_f_scale)
+        polish_f_scale=polish_f_scale, presort_fn=presort_fn)
     polish, screen, info = driver.run(theta0s,
                                       checkpoint_path=checkpoint_path,
                                       resume=resume)
@@ -643,7 +653,9 @@ class TwoPhaseDriver:
                  polish_bounds=None,
                  polish_subproblem: str = "normal",
                  polish_loss: str = "linear",
-                 polish_f_scale: float = 1.0):
+                 polish_f_scale: float = 1.0,
+                 presort_fn: Optional[Callable] = None):
+        self.presort_fn = presort_fn
         self.screen_config = screen_config
         self.polish_config = polish_config
         self.top_k = top_k
@@ -696,6 +708,9 @@ class TwoPhaseDriver:
             self.screen_run(jnp.broadcast_to(theta_rep, (n, G))).cost)
         jax.block_until_ready(
             self.polish_run(jnp.broadcast_to(theta_rep, (pb, G))).cost)
+        if self.presort_fn is not None:
+            jax.block_until_ready(
+                self.presort_fn(jnp.broadcast_to(theta_rep, (n, G))))
         return _time.perf_counter() - t0
 
     def run(self, theta0s: jax.Array,
@@ -708,11 +723,39 @@ class TwoPhaseDriver:
         starts = theta0s
         n_pad = 0
         t0 = _time.perf_counter()
+        inv_order = None
+        if (self.presort_fn is not None and self.chunk_size
+                and self.chunk_size < N):
+            # Probe-sorted chunking: one cheap key per start (typically a
+            # sensitivity-free integration's step count at the screen
+            # config) sorts the starts so each screen chunk groups members
+            # of similar step cost — the chunk's lockstep union drops from
+            # ~the global max toward the chunk-local max. Probe chunks are
+            # enqueued back-to-back (async dispatch), results fetched after.
+            cs = self.chunk_size
+            probe_pad = (-N) % cs
+            probe_in = (jnp.concatenate(
+                [starts, jnp.broadcast_to(starts[-1:],
+                                          (probe_pad, starts.shape[1]))])
+                if probe_pad else starts)
+            outs = [self.presort_fn(probe_in[i:i + cs])
+                    for i in range(0, probe_in.shape[0], cs)]
+            keys = np.concatenate([np.asarray(o) for o in outs])[:N]
+            order = np.argsort(keys, kind="stable")
+            inv_order = np.empty(N, np.int64)
+            inv_order[order] = np.arange(N)
+            starts = starts[jnp.asarray(order)]
+        t_presort = _time.perf_counter() - t0
         if self.chunk_size and self.chunk_size < N:
             n_pad = (-N) % self.chunk_size
             if n_pad:
+                # presorted: pad with clones of the LAST (most expensive)
+                # start so pads join the chunk whose union they cannot
+                # raise; unsorted keeps the first-start clone (stable
+                # checkpoint digests for existing runs)
+                pad_src = starts[-1:] if inv_order is not None else starts[:1]
                 starts = jnp.concatenate(
-                    [starts, jnp.broadcast_to(starts[:1],
+                    [starts, jnp.broadcast_to(pad_src,
                                               (n_pad, starts.shape[1]))])
             screen, chunks_resumed = run_chunked(
                 self.screen_run, starts, self.chunk_size,
@@ -727,6 +770,10 @@ class TwoPhaseDriver:
             screen = self.screen_run(starts)
             chunks_resumed = 0
         jax.block_until_ready(screen.cost)
+        if inv_order is not None:
+            # restore the caller's start order (ranking below is
+            # order-invariant; theta0 pairing is not)
+            screen = jax.tree.map(lambda a: a[inv_order], screen)
         t1 = _time.perf_counter()
 
         if isinstance(screen.cost, np.ndarray):
@@ -754,5 +801,6 @@ class TwoPhaseDriver:
         t2 = _time.perf_counter()
         return polish, screen, {
             "screen_seconds": t1 - t0, "polish_seconds": t2 - t1,
+            "presort_seconds": t_presort,
             "chunks_resumed": chunks_resumed, "n_pad": n_pad,
         }
