@@ -27,7 +27,11 @@ reference delegates to):
   (``optim.loss``), condition-group parameter sharing
   (``ParameterMap(grouped=...)``), and plotting (``viz``),
 - post-fit identifiability: profile likelihood as vmapped warm-started
-  chains with likelihood-ratio confidence intervals (``fit.profile``).
+  chains with likelihood-ratio confidence intervals (``fit.profile``),
+  and Bayesian posteriors via ensemble MCMC (``fit.mcmc`` — the emcee
+  stretch move as one jitted ``lax.scan`` over lockstep walkers),
+- SciPy-signature facades for zero-rewrite migration
+  (``tpusysbio.compat``: solve_ivp / odeint / leastsq / least_squares).
 
 Nothing here imports from the reference; the TPU compute path is
 JAX/XLA/Pallas throughout (XLA/Mosaic is the native layer on TPU).

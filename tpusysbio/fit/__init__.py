@@ -9,6 +9,11 @@ final cost gather (BASELINE.json:5).
 """
 
 from tpusysbio.fit.sampling import latin_hypercube, uniform_starts  # noqa: F401
+from tpusysbio.fit.mcmc import (  # noqa: F401
+    MCMCResult,
+    autocorr_time,
+    ensemble_sample,
+)
 from tpusysbio.fit.profile import (  # noqa: F401
     ProfileResult,
     confidence_intervals,

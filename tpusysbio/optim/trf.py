@@ -169,6 +169,17 @@ def trf_fit(
     per iteration with the robust curvature (optim/loss.py). The
     reported ``cost`` is the robust cost.
 
+    Known corner (measured, round 5): when EVERY residual starts in the
+    huber TAIL (all |r| ≫ f_scale), the robust Gauss–Newton curvature
+    ``ρ' + 2ρ''z`` is exactly 0 on every row (scipy floors it at eps
+    too, ``common.py`` scale_for_robust_loss_function) and the λ-damped
+    normal-equations subproblem here can stall at the start, where
+    scipy's explicit trust-RADIUS subproblem still makes progress. Fits
+    with at least some inlier rows — the robust-loss use case — are
+    unaffected (per-loss scipy parity: tests/test_fit.py). Mitigation if
+    hit: start closer / raise ``f_scale``, or fit ``loss='linear'``
+    first and re-fit robustly from its optimum.
+
     ``subproblem`` selects the trust-region step solver:
 
     - ``'normal'`` (default): λ-damped scaled normal equations with the
