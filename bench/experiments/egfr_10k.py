@@ -41,9 +41,17 @@ POLISH_ITERS = int(os.environ.get("TPUSYSBIO_EGFR10K_POLISH_ITERS", "10"))
 # step count across the chunk, so this cap IS the screen-phase unit of
 # work. Members that genuinely need more steps get a penalized cost and
 # rank last — exactly what a screening phase wants (the basin winners are
-# the well-conditioned members). Nominal rtol=1e-3 integration ≈ 130
-# steps.
-MAX_STEPS = int(os.environ.get("TPUSYSBIO_EGFR10K_MAX_STEPS", "192"))
+# the well-conditioned members). Round-5 sweep (docs/PERFORMANCE.md
+# "EGFR cap sweep"): the union probe measured the θ0 step distribution
+# at 111-128 (p5-max), so the cap only pays for LATER-iteration trial
+# spikes; 192 → 160 → 144 → 136 gave 218.9 → 193.9 → 183.8 → 178.7 s
+# with the polished winner bit-identical (46.0791) and the quality gate
+# green at every notch. 136 = the measured keeper (margin over the 128
+# max observed at θ0).
+MAX_STEPS = int(os.environ.get("TPUSYSBIO_EGFR10K_MAX_STEPS", "136"))
+# cost-sorted polish sub-batches (TwoPhaseDriver polish_subbatch): 0 = off
+POLISH_SUBBATCH = int(os.environ.get("TPUSYSBIO_EGFR10K_POLISH_SUBBATCH",
+                                     "0"))
 
 
 def main():
@@ -75,7 +83,8 @@ def main():
         (proj_tight.residuals, proj_tight.residuals_and_jacobian),
         screen_cfg, polish_cfg, TOP_K,
         iter_chunk=ITER_CHUNK or None, polish_iter_chunk=2,
-        chunk_size=chunk, screen_channels="rank", run_tag="egfr10k")
+        chunk_size=chunk, screen_channels="rank", run_tag="egfr10k",
+        polish_subbatch=POLISH_SUBBATCH or None)
 
     warmup_s = driver.warmup(theta_true)
 
