@@ -80,14 +80,16 @@ def main():
     from tpusysbio.fit.multistart import TwoPhaseDriver
 
     proj_tight, theta_true = build_problem()
-    # max_steps=192: the nominal screening integration needs ~92 steps;
-    # a pathological LHS start that cannot finish in 2x that is flagged
-    # MAX_STEPS and ranked last. Without the cap, ONE hopeless member
-    # drags every LM iteration's lockstep union to the full budget
-    # (SURVEY.md §7 hard part 1 — the cap is the mitigation).
+    # Screen step cap: the nominal screening integration needs ~92 steps;
+    # a pathological LHS start that cannot finish in MAX_STEPS is flagged
+    # and ranked last. Without a cap, ONE hopeless member drags every LM
+    # iteration's lockstep union to the full budget (SURVEY.md §7 hard
+    # part 1 — the cap is the mitigation, and per the round-5 EGFR cap
+    # sweep it is also the unit of later-iteration union waste).
+    max_steps = int(os.environ.get("TPUSYSBIO_HEADLINE_MAX_STEPS", "192"))
     proj_screen = dataclasses.replace(
         proj_tight,
-        config=SolverConfig(rtol=1e-3, atol=1e-6, max_steps=192,
+        config=SolverConfig(rtol=1e-3, atol=1e-6, max_steps=max_steps,
                             linear_solver=SOLVER, mixed_precision=True))
 
     starts = latin_hypercube(jax.random.PRNGKey(0), N,
@@ -160,6 +162,7 @@ def main():
         "unit": "seconds/chip (warm)",
         "detail": {
             "n_starts": N, "top_k": TOP_K, "n_pad": n_pad,
+            "max_steps": max_steps,
             "n_chunks": n_chunks, "chunks_resumed": chunks_skipped,
             "warmup_seconds_incl_compile": round(warmup_s, 1),
             "screen_seconds": round(screen_s, 1),

@@ -31,9 +31,17 @@ jax.config.update("jax_enable_x64", True)
 # identical programs re-built by different test modules — and by repeat
 # suite runs — deserialize instead of recompiling. Safe cross-run: keys
 # include jaxlib version and compile options.
+#
+# TPUSYSBIO_DISABLE_COMPILE_CACHE=1 turns it off: on hosts whose CPU
+# feature probe lacks XLA's pseudo-features (the cpu_aot_loader
+# "+prefer-no-gather is not supported" warning), the AOT
+# serialize/deserialize path has been observed to segfault/abort late
+# in a long suite run (round-5 notes) — the cache trades wall time for
+# that risk, so it must be disengageable without editing this file.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("TPUSYSBIO_DISABLE_COMPILE_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -117,3 +117,22 @@ def test_profile_cli_reports_cis(tmp_path, capsys):
     assert np.all(data["costs"].min(axis=1) >= center * (1 - 1e-4))
     assert os.path.exists(str(tmp_path / "pl_profiles.png"))
     assert data["ci"].shape == (4, 2)
+
+
+def test_sample_cli_reports_posterior(tmp_path, capsys):
+    """sample subcommand: fit + ensemble MCMC, posterior table, .npz
+    chain (fit/mcmc.py through the CLI)."""
+    out = str(tmp_path / "chain.npz")
+    cli.main(["sample", "--model", "mm3", "--walkers", "16", "--steps",
+              "60", "--burn", "20", "--t-end", "10", "--n-times", "6",
+              "--fit-iters", "60", "--linear-solver", "inv32",
+              "--out", out])
+    captured = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(captured[0])
+    assert rec["model"] == "mm3" and rec["walkers"] == 16
+    assert rec["kept_samples"] == (60 - 20) * 16
+    assert 0.0 < rec["mean_acceptance"] < 1.0
+    assert np.isfinite(rec["fit_cost"])
+    data = np.load(out)
+    assert data["chain"].shape == (60, 16, 4)
+    assert np.all(np.isfinite(data["log_prob"]))

@@ -356,6 +356,66 @@ def cmd_profile(args):
         print(f"plot saved to {args.plot}_profiles.png", file=sys.stderr)
 
 
+def cmd_sample(args):
+    """Posterior sampling on a canonical config: fit the synthetic
+    problem, then run ensemble MCMC (fit/mcmc.py — emcee-style stretch
+    move, walkers in lockstep inside one jitted scan) from a ball around
+    the optimum and report per-parameter posterior mean ± sigma."""
+    import time
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpusysbio.config import FitConfig, SolverConfig
+    from tpusysbio.fit import autocorr_time, ensemble_sample
+    from tpusysbio.optim import lm_fit
+    from tpusysbio.project import Project
+
+    model, batch, pmap, free, theta_true = _synth_problem(args)
+    cfg = SolverConfig(rtol=args.rtol, atol=args.atol,
+                       max_steps=args.max_steps,
+                       linear_solver=args.linear_solver,
+                       sens_precision="f32")
+    proj = Project(model=model, pmap=pmap, batch=batch, config=cfg)
+    fit_cfg = FitConfig(max_iter=args.fit_iters, eval_mode="lockstep")
+
+    t0 = time.perf_counter()
+    fit = jax.jit(lambda th: lm_fit(
+        proj.residuals, proj.residuals_and_jacobian, th,
+        fit_cfg))(theta_true)
+    rng = np.random.default_rng(args.seed)
+    x0 = jnp.asarray(np.asarray(fit.theta)
+                     + args.init_ball * rng.normal(
+                         size=(args.walkers, len(free))))
+    res = ensemble_sample(lambda th: -proj.cost(th), x0, args.steps,
+                          jax.random.PRNGKey(args.seed), thin=args.thin)
+    jax.block_until_ready(res.chain)
+    wall = time.perf_counter() - t0
+
+    burn = args.burn // args.thin
+    samp = np.asarray(res.flat(burn=burn))
+    tau = autocorr_time(res.chain[burn:])
+    acc = np.asarray(res.acceptance)
+    print(json.dumps({
+        "model": args.model, "free_params": len(free),
+        "walkers": args.walkers, "steps": args.steps,
+        "kept_samples": int(samp.shape[0]),
+        "wall_seconds": round(wall, 1),
+        "fit_cost": float(fit.cost),
+        "mean_acceptance": round(float(acc.mean()), 3),
+        "max_autocorr_time": round(float(tau.max()), 1),
+    }))
+    mu, sd = samp.mean(axis=0), samp.std(axis=0)
+    for p, name in enumerate(free):
+        print(f"  {name:>16s}: {np.exp(mu[p]):.6g}  "
+              f"(x/÷ {np.exp(sd[p]):.4g}; τ={tau[p]:.1f})")
+    if args.out:
+        np.savez(args.out, chain=np.asarray(res.chain),
+                 log_prob=np.asarray(res.log_prob), acceptance=acc,
+                 free=np.asarray(free))
+        print(f"chain saved to {args.out}", file=sys.stderr)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="tpusysbio")
     parser.add_argument("--cpu", action="store_true",
@@ -455,6 +515,32 @@ def main(argv=None):
     p_pl.add_argument("--plot", default=None, metavar="PREFIX",
                       help="save PREFIX_profiles.png")
     p_pl.set_defaults(fn=cmd_profile)
+
+    p_mc = sub.add_parser(
+        "sample",
+        help="posterior sampling via ensemble MCMC on a canonical config "
+             "(fit, then emcee-style stretch-move walkers)")
+    p_mc.add_argument("--model", default="mm3",
+                      choices=list(_FREE_PARAMS.keys()))
+    p_mc.add_argument("--walkers", type=int, default=32)
+    p_mc.add_argument("--steps", type=int, default=400)
+    p_mc.add_argument("--burn", type=int, default=100,
+                      help="sweeps discarded before moments (pre-thin)")
+    p_mc.add_argument("--thin", type=int, default=1)
+    p_mc.add_argument("--init-ball", type=float, default=0.01,
+                      help="walker init sigma around the optimum (log)")
+    p_mc.add_argument("--fit-iters", type=int, default=40)
+    p_mc.add_argument("--noise", type=float, default=0.02)
+    p_mc.add_argument("--seed", type=int, default=0)
+    p_mc.add_argument("--t-end", type=float, default=10.0)
+    p_mc.add_argument("--n-times", type=int, default=12)
+    p_mc.add_argument("--rtol", type=float, default=1e-6)
+    p_mc.add_argument("--atol", type=float, default=1e-9)
+    p_mc.add_argument("--max-steps", type=int, default=512)
+    p_mc.add_argument("--linear-solver", default="pallas",
+                      choices=["lu", "inv", "inv32", "pallas"])
+    p_mc.add_argument("--out", default=None, help="save chain to .npz")
+    p_mc.set_defaults(fn=cmd_sample)
 
     args = parser.parse_args(argv)
     if args.cpu:
