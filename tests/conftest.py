@@ -16,6 +16,25 @@ as no test touches a backend before conftest import.
 
 import os
 
+# XLA:CPU's JIT mmaps code pages per compiled executable and never
+# unmaps them for live executables; a full-suite process accumulates
+# memory maps at ~80/s on this host (measured round 5) and hits the
+# kernel's default vm.max_map_count=65530 ~15 min in, at which point
+# mmap fails inside LLVM and the process SIGSEGVs mid-compile (the
+# late-suite crash; reproduced with the persistent compile cache ON and
+# OFF, at whichever big program happened to sit past the cliff). Raise
+# the tunable when we can (CI images run as root); otherwise the
+# compile-heavy-first collection order below keeps the biggest programs
+# clear of the cliff and a warm .jax_cache keeps total compiles low.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _maps_limit = int(f.read())
+    if _maps_limit < 1048576:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1048576")
+except OSError:
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -32,12 +51,10 @@ jax.config.update("jax_enable_x64", True)
 # suite runs — deserialize instead of recompiling. Safe cross-run: keys
 # include jaxlib version and compile options.
 #
-# TPUSYSBIO_DISABLE_COMPILE_CACHE=1 turns it off: on hosts whose CPU
-# feature probe lacks XLA's pseudo-features (the cpu_aot_loader
-# "+prefer-no-gather is not supported" warning), the AOT
-# serialize/deserialize path has been observed to segfault/abort late
-# in a long suite run (round-5 notes) — the cache trades wall time for
-# that risk, so it must be disengageable without editing this file.
+# TPUSYSBIO_DISABLE_COMPILE_CACHE=1 turns it off (diagnostic escape
+# hatch). Round-5 controlled experiment: the late-suite segfault occurs
+# with the cache OFF too — the fault is in XLA:CPU *compilation* itself
+# (see the collection-order note below), not the AOT cache path.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
 if os.environ.get("TPUSYSBIO_DISABLE_COMPILE_CACHE") != "1":
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
@@ -45,6 +62,25 @@ if os.environ.get("TPUSYSBIO_DISABLE_COMPILE_CACHE") != "1":
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+# Compile-heaviest modules first: defense in depth for the map-count
+# cliff above when the vm.max_map_count raise is not permitted
+# (non-root). The biggest programs (the Radau 2n-embedded stepper with
+# 30 jvp sensitivity columns; the full sensitivity matrix suites) then
+# compile while the process is young; ordering is otherwise the default
+# collection order, and single-module runs are unaffected.
+_COMPILE_HEAVY_FIRST = ("test_solvers.py", "test_sens.py")
+
+
+def pytest_collection_modifyitems(config, items):
+    def rank(item):
+        name = os.path.basename(str(item.fspath))
+        return (_COMPILE_HEAVY_FIRST.index(name)
+                if name in _COMPILE_HEAVY_FIRST
+                else len(_COMPILE_HEAVY_FIRST))
+
+    items.sort(key=rank)  # stable: preserves order within each group
 
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
